@@ -1,0 +1,196 @@
+"""Ball query (fixed-radius neighborhood search).
+
+Behavioral contract (reference: ``tf_ops/grouping/tf_grouping_g.cu``,
+``query_ball_point_gpu`` — reconstructed, see SURVEY.md §2.1):
+
+``query_ball_point(radius, nsample, xyz1, xyz2)`` with dataset points
+``xyz1 (B, N, 3)`` and query centers ``xyz2 (B, M, 3)`` returns
+``idx (B, M, nsample) i32`` and ``pts_cnt (B, M) i32``. For each query the
+dataset is scanned **in input order**; indices with squared distance
+strictly below ``radius**2`` are collected until ``nsample`` are found.
+On the first hit all ``nsample`` slots are pre-filled with that index
+(replicate-first padding — load-bearing for the downstream max-pool).
+``pts_cnt`` is the number of hits, capped at ``nsample``. If a query has no
+hits, its row is all zeros with count 0. No gradient.
+
+Because the scan is in input order, the collected indices are exactly the
+``nsample`` smallest hit indices in ascending order — which is how both the
+XLA path (masked ``top_k``) and the Pallas kernel (iterative masked min over
+a VMEM-resident position matrix) compute them, with no sequential scan.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gspn_tpu.ops.common import pairwise_sqdist, resolve_impl, round_up
+
+
+def _finalize(idx_asc: jax.Array, cnt: jax.Array, nsample: int):
+    """Apply replicate-first padding + zero rows for empty queries."""
+    first = idx_asc[..., 0:1]
+    k_iota = jnp.arange(nsample, dtype=jnp.int32)
+    idx = jnp.where(k_iota < cnt[..., None], idx_asc, first)
+    idx = jnp.where(cnt[..., None] > 0, idx, 0)
+    return idx.astype(jnp.int32), cnt.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# XLA path
+# ---------------------------------------------------------------------------
+
+
+def _ball_query_xla(radius, nsample, xyz1, xyz2, valid1):
+    n = xyz1.shape[-2]
+    d2 = pairwise_sqdist(xyz2, xyz1)  # (B, M, N)
+    hit = d2 < radius * radius
+    if valid1 is not None:
+        hit = jnp.logical_and(hit, valid1[..., None, :])
+    cnt = jnp.minimum(jnp.sum(hit, axis=-1), nsample).astype(jnp.int32)
+    pos = jnp.where(hit, jnp.arange(n, dtype=jnp.int32), n)
+    # nsample smallest positions in ascending order == first-come scan order
+    neg_top, _ = jax.lax.top_k(-pos, nsample)
+    idx_asc = -neg_top
+    idx_asc = jnp.where(idx_asc >= n, 0, idx_asc)  # unfilled slots, masked later
+    return _finalize(idx_asc, cnt, nsample)
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel
+# ---------------------------------------------------------------------------
+
+
+def _ball_query_kernel(
+    xyz1_ref, xyz2_ref, valid_ref, idx_ref, cnt_ref, *, nsample: int, r2: float, n: int
+):
+    """Grid (B, M // TM). Queries on sublanes, dataset points on lanes.
+
+    xyz1:  (1, 8, Npad) rows x, y, z along lanes.
+    xyz2:  (1, TM, 128) query tile, cols 0..2 = x, y, z (padded rows at 1e9).
+    valid: (1, 8, Npad) row 0 = 1.0 for real dataset points.
+    idx:   (1, TM, Kpad) i32 out — first ``nsample`` lanes are the ascending
+           hit indices (0 where unfilled).
+    cnt:   (1, TM, 128) i32 out — col 0 is the hit count (capped).
+    """
+    npad = xyz1_ref.shape[2]
+    tm = xyz2_ref.shape[1]
+    kpad = idx_ref.shape[2]
+    x1 = xyz1_ref[0, 0:1, :]
+    y1 = xyz1_ref[0, 1:2, :]
+    z1 = xyz1_ref[0, 2:3, :]
+    qx = xyz2_ref[0, :, 0:1]
+    qy = xyz2_ref[0, :, 1:2]
+    qz = xyz2_ref[0, :, 2:3]
+    dx = qx - x1
+    dy = qy - y1
+    dz = qz - z1
+    d2 = dx * dx + dy * dy + dz * dz  # (TM, Npad)
+    hit = jnp.logical_and(d2 < r2, valid_ref[0, 0:1, :] > 0.0)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tm, npad), 1)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (tm, kpad), 1)
+    pos0 = jnp.where(hit, iota, n)
+    cnt = jnp.minimum(jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True), nsample)
+    cnt_ref[0, :, 0:1] = cnt
+
+    def body(k, carry):
+        pos, acc = carry
+        m = jnp.min(pos, axis=1, keepdims=True)  # (TM, 1) smallest remaining hit
+        mval = jnp.where(m >= n, 0, m)
+        acc = jnp.where(kiota == k, mval, acc)
+        pos = jnp.where(pos == m, n, pos)
+        return pos, acc
+
+    acc0 = jnp.zeros((tm, kpad), jnp.int32)
+    _, acc = jax.lax.fori_loop(0, nsample, body, (pos0, acc0))
+    idx_ref[0, :, :] = acc
+
+
+def _ball_query_pallas(radius, nsample, xyz1, xyz2, valid1, interpret):
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    npad = round_up(n, 128)
+    tm = min(128, round_up(m, 8))
+    mpad = round_up(m, tm)
+    kpad = round_up(nsample, 128)
+
+    x1t = jnp.zeros((b, 8, npad), jnp.float32)
+    x1t = x1t.at[:, 0:3, :n].set(jnp.swapaxes(xyz1.astype(jnp.float32), 1, 2))
+    vrow = jnp.zeros((b, 8, npad), jnp.float32)
+    if valid1 is None:
+        vrow = vrow.at[:, 0, :n].set(1.0)
+    else:
+        vrow = vrow.at[:, 0, :n].set(valid1.astype(jnp.float32))
+    # pad queries far away so padded rows simply produce empty results
+    q = jnp.full((b, mpad, 128), 1e9, jnp.float32)
+    q = q.at[:, :m, 0:3].set(xyz2.astype(jnp.float32))
+
+    grid = (b, mpad // tm)
+    idx, cnt = pl.pallas_call(
+        functools.partial(
+            _ball_query_kernel, nsample=nsample, r2=float(radius) ** 2, n=n
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 8, npad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tm, kpad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tm, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, mpad, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((b, mpad, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x1t, q, vrow)
+    idx_asc = idx[:, :m, :nsample]
+    cnt = cnt[:, :m, 0]
+    return _finalize(idx_asc, cnt, nsample)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def query_ball_point(
+    radius: float,
+    nsample: int,
+    xyz1: jax.Array,
+    xyz2: jax.Array,
+    valid1: jax.Array | None = None,
+    *,
+    impl: str = "auto",
+    interpret: bool | None = None,
+):
+    """Fixed-radius neighborhood indices with replicate-first padding.
+
+    Args:
+      radius: ball radius (strict ``<`` comparison on squared distance).
+      nsample: max neighbors per query (static).
+      xyz1: ``(B, N, 3)`` dataset points.
+      xyz2: ``(B, M, 3)`` query centers.
+      valid1: optional ``(B, N)`` bool mask for padded dataset points.
+
+    Returns:
+      ``idx (B, M, nsample) int32``, ``pts_cnt (B, M) int32``.
+    """
+    if xyz1.ndim != 3 or xyz2.ndim != 3:
+        raise ValueError("xyz1/xyz2 must be (B, N, 3)/(B, M, 3)")
+    choice = resolve_impl(impl)
+    if choice == "pallas":
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return _ball_query_pallas(radius, nsample, xyz1, xyz2, valid1, interpret)
+    return _ball_query_xla(radius, nsample, xyz1, xyz2, valid1)

@@ -1,0 +1,160 @@
+"""Bidirectional nearest-neighbor (chamfer) distance — ``nn_distance``.
+
+Reference parity (``tf_ops/nn_distance/tf_nndistance.{cpp,cu}`` from PSGN,
+Fan et al. — reconstructed, see SURVEY.md §2.1):
+
+``nn_distance(xyz1, xyz2)``: ``(B, N, 3), (B, M, 3) ->``
+``dist1 (B, N) f32`` (squared distance to nearest point of xyz2),
+``idx1 (B, N) i32``, and symmetrically ``dist2 (B, M)``, ``idx2 (B, M)``.
+
+Gradient design: the reference hand-writes CUDA gradient kernels. Here the
+argmin indices are computed by a (non-differentiable) kernel and the
+distances are *re-expressed* as a differentiable gather —
+``sum((xyz1 - xyz2[idx1])**2)`` — so autodiff produces exactly the
+reference's analytic gradients (2*(x-y) into xyz1, scatter-add of the
+negation into xyz2) with no custom VJP. The recompute is O(N) flops,
+noise next to the O(N*M) argmin.
+
+The Pallas kernel tiles targets over sublanes and keeps the full source set
+in VMEM lanes; one fused VPU pass produces each tile's argmin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gspn_tpu.ops.common import masked_sqdist, resolve_impl, round_up
+
+
+# ---------------------------------------------------------------------------
+# argmin kernels (one direction)
+# ---------------------------------------------------------------------------
+
+
+def _argmin_xla(a, b, b_valid):
+    d2 = masked_sqdist(a, b, b_valid)  # (B, N, M)
+    return jnp.argmin(d2, axis=-1).astype(jnp.int32)
+
+
+def _nn_kernel(a_ref, bt_ref, bvalid_ref, idx_ref, *, m: int):
+    """Grid (B, N // TN). a: (1, TN, 128) cols 0..2; bt: (1, 8, Mpad) rows
+    x,y,z; bvalid: (1, 8, Mpad) row 0; idx out: (1, TN, 128) col 0."""
+    mpad = bt_ref.shape[2]
+    tn = a_ref.shape[1]
+    bx = bt_ref[0, 0:1, :]
+    by = bt_ref[0, 1:2, :]
+    bz = bt_ref[0, 2:3, :]
+    ax = a_ref[0, :, 0:1]
+    ay = a_ref[0, :, 1:2]
+    az = a_ref[0, :, 2:3]
+    dx = ax - bx
+    dy = ay - by
+    dz = az - bz
+    d2 = dx * dx + dy * dy + dz * dz  # (TN, Mpad)
+    d2 = jnp.where(bvalid_ref[0, 0:1, :] > 0.0, d2, 1e10)
+    best = jnp.min(d2, axis=1, keepdims=True)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tn, mpad), 1)
+    idx = jnp.min(jnp.where(d2 == best, iota, m), axis=1, keepdims=True)
+    idx_ref[0, :, 0:1] = jnp.minimum(idx, m - 1).astype(jnp.int32)
+
+
+def _argmin_pallas(a, b, b_valid, interpret):
+    bsz, n, _ = a.shape
+    m = b.shape[1]
+    mpad = round_up(m, 128)
+    tn = min(128, round_up(n, 8))
+    npad = round_up(n, tn)
+
+    at = jnp.zeros((bsz, npad, 128), jnp.float32)
+    at = at.at[:, :n, 0:3].set(a.astype(jnp.float32))
+    bt = jnp.zeros((bsz, 8, mpad), jnp.float32)
+    bt = bt.at[:, 0:3, :m].set(jnp.swapaxes(b.astype(jnp.float32), 1, 2))
+    bv = jnp.zeros((bsz, 8, mpad), jnp.float32)
+    if b_valid is None:
+        bv = bv.at[:, 0, :m].set(1.0)
+    else:
+        bv = bv.at[:, 0, :m].set(b_valid.astype(jnp.float32))
+
+    idx = pl.pallas_call(
+        functools.partial(_nn_kernel, m=m),
+        grid=(bsz, npad // tn),
+        in_specs=[
+            pl.BlockSpec((1, tn, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, mpad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, mpad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tn, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, npad, 128), jnp.int32),
+        interpret=interpret,
+    )(at, bt, bv)
+    return idx[:, :n, 0]
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+
+def _nearest_idx(a, b, b_valid, impl, interpret):
+    choice = resolve_impl(impl)
+    if choice == "pallas":
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return _argmin_pallas(a, b, b_valid, interpret)
+    return _argmin_xla(a, b, b_valid)
+
+
+def nn_distance(
+    xyz1: jax.Array,
+    xyz2: jax.Array,
+    valid1: jax.Array | None = None,
+    valid2: jax.Array | None = None,
+    *,
+    impl: str = "auto",
+    interpret: bool | None = None,
+):
+    """Bidirectional nearest-neighbor squared distances.
+
+    Returns ``(dist1, idx1, dist2, idx2)`` with shapes
+    ``(B, N), (B, N), (B, M), (B, M)``. Distances are differentiable in both
+    point sets; indices are not (stop-gradient, as in the reference).
+    Rows whose own point is padded still get values; mask with
+    ``valid1``/``valid2`` at the loss.
+    """
+    # stop_gradient on the *inputs* so the argmin kernel is never linearized
+    a = jax.lax.stop_gradient(xyz1)
+    b = jax.lax.stop_gradient(xyz2)
+    idx1 = _nearest_idx(a, b, valid2, impl, interpret)
+    idx2 = _nearest_idx(b, a, valid1, impl, interpret)
+    near1 = jnp.take_along_axis(xyz2, idx1[..., None].astype(jnp.int32), axis=-2)
+    near2 = jnp.take_along_axis(xyz1, idx2[..., None].astype(jnp.int32), axis=-2)
+    dist1 = jnp.sum((xyz1 - near1) ** 2, axis=-1)
+    dist2 = jnp.sum((xyz2 - near2) ** 2, axis=-1)
+    return dist1, idx1, dist2, idx2
+
+
+def chamfer_loss(
+    pred: jax.Array,
+    target: jax.Array,
+    target_valid: jax.Array | None = None,
+    *,
+    impl: str = "auto",
+):
+    """Symmetric chamfer loss as the reference CVAE uses nn_distance:
+    mean over pred points of dist1 + mean over (valid) target points of
+    dist2, averaged over batch. Returns a scalar."""
+    d1, _, d2, _ = nn_distance(pred, target, valid2=target_valid, impl=impl)
+    l1 = jnp.mean(d1, axis=-1)
+    if target_valid is not None:
+        w = target_valid.astype(d2.dtype)
+        l2 = jnp.sum(d2 * w, axis=-1) / jnp.maximum(jnp.sum(w, axis=-1), 1.0)
+    else:
+        l2 = jnp.mean(d2, axis=-1)
+    return jnp.mean(l1 + l2)
