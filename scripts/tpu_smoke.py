@@ -88,6 +88,41 @@ def main():
     dt = (time.perf_counter() - t0) / 10
     print(f"fused pipeline (fps+ball+group+3nn+interp+nms, B={b}, N={n}): "
           f"{dt*1e3:.2f} ms/iter, {b*n/dt/1e6:.1f} Mpts/s")
+
+    # --- PointNet++ SA+FP stack on the chip (BASELINE config 2 shape)
+    from gspn_tpu import nn as gnn
+
+    sa = gnn.PointNetSAModule(npoint=1024, radius=0.2, nsample=32,
+                              mlp=(64, 64, 128))
+    key = jax.random.PRNGKey(0)
+    sa_vars = sa.init(key, xyz[:1], None, None, train=False)
+
+    @jax.jit
+    def sa_fwd(v, p, msk):
+        return sa.apply(v, p, None, msk, train=False)
+
+    nx, feat, nv = sa_fwd(sa_vars, xyz, valid)
+    jax.block_until_ready(feat)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        nx, feat, nv = sa_fwd(sa_vars, xyz, valid)
+    jax.block_until_ready(feat)
+    dt = (time.perf_counter() - t0) / 10
+    assert feat.shape == (b, 1024, 128) and bool(jnp.all(jnp.isfinite(feat)))
+    print(f"SA module (N={n}->1024, K=32, mlp 64-64-128): {dt*1e3:.2f} ms/iter, "
+          f"{b*n/dt/1e6:.1f} Mpts/s")
+
+    fp = gnn.PointNetFPModule(mlp=(128, 128))
+    fp_vars = fp.init(key, xyz[:1], nx[:1], None, feat[:1], train=False)
+
+    @jax.jit
+    def fp_fwd(v, p, c, f):
+        return fp.apply(v, p, c, None, f, train=False)
+
+    up = fp_fwd(fp_vars, xyz, nx, feat)
+    jax.block_until_ready(up)
+    assert up.shape == (b, n, 128) and bool(jnp.all(jnp.isfinite(up)))
+    print(f"FP module (1024->{n}): OK")
     print("TPU SMOKE: ALL OK")
 
 
