@@ -1,0 +1,125 @@
+"""Benchmark: end-to-end instance-segmentation inference points/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no throughput (BASELINE.md), so the baseline here
+is a faithful *reference-style* execution of the same trained math on the
+same chip: the pipeline split at the reference's three host boundaries
+(SURVEY.md §3.3 — separate feed of each stage with device->host->device
+transfers and host NumPy NMS between them). ``vs_baseline`` is
+fused-points-per-sec / reference-style-points-per-sec.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, N = 8, 8192
+WARMUP, ITERS = 3, 20
+
+
+def _bench(fn, *args):
+    # NOTE: block_until_ready does not synchronize on this tunneled TPU
+    # backend — use the device-get based timer (gspn_tpu.utils.timing).
+    from gspn_tpu.utils.timing import time_fn
+
+    return time_fn(fn, *args, iters=ITERS, warmup=WARMUP)
+
+
+def main():
+    from gspn_tpu import ops
+    from gspn_tpu.data import synthetic
+    from gspn_tpu.models.gspn import proposal_boxes
+    from gspn_tpu.models.pipeline import (
+        init_pipeline_variables,
+        make_inference_fn,
+        project_roi_masks,
+    )
+    from gspn_tpu.models.rpointnet import apply_box_deltas
+    from __graft_entry__ import _tiny_pipeline_config
+
+    cfg = _tiny_pipeline_config()
+    rng = np.random.default_rng(0)
+    batch = synthetic.scene_batch(rng, B, n_points=N, max_instances=8)
+    xyz = jnp.asarray(batch["xyz"])
+    valid = jnp.asarray(batch["valid"])
+    variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), N)
+    key = jax.random.PRNGKey(1)
+
+    # ---- ours: one fused XLA program
+    infer = jax.jit(make_inference_fn(cfg))
+    fused_dt = _bench(infer, variables, xyz, None, valid, key)
+    fused_pps = B * N / fused_dt
+
+    # ---- reference-style: stage-per-sess.run with host boundaries
+    gspn_cfg, rpn_cfg = cfg.gspn, cfg.rpointnet
+    from gspn_tpu.models.gspn import GSPN
+    from gspn_tpu.models.rpointnet import RPointNet
+
+    gspn, rpn = GSPN(gspn_cfg), RPointNet(rpn_cfg)
+
+    @jax.jit
+    def stage_seeds(xyz, valid):
+        return ops.farthest_point_sample(cfg.num_seeds, xyz, valid)
+
+    @jax.jit
+    def stage_gspn(gvars, xyz, seed_idx, valid, key):
+        out = gspn.apply(gvars, xyz, seed_idx, valid=valid, z_rng=key, train=False)
+        return proposal_boxes(out.generated, rpn_cfg.box_margin), jax.nn.sigmoid(out.objectness)
+
+    @jax.jit
+    def stage_rpn(rvars, xyz, boxes, valid):
+        out = rpn.apply(rvars, xyz, boxes, valid=valid, train=False)
+        return out.cls_logits, out.box_deltas, out.mask_logits, out.roi_idx, out.roi_valid
+
+    @jax.jit
+    def stage_masks(xyz, refined, roi_idx, mask_logits, valid):
+        return project_roi_masks(xyz, refined, roi_idx, mask_logits, cfg.mask_thresh, valid)
+
+    def reference_style(xyz_np, valid_np, key):
+        # boundary #1: host feed per stage (device_put from host arrays)
+        x = jnp.asarray(xyz_np)
+        v = jnp.asarray(valid_np)
+        seeds = np.asarray(stage_seeds(x, v))  # -> host
+        boxes, obj = stage_gspn(variables["gspn"], jnp.asarray(xyz_np), jnp.asarray(seeds), v, key)
+        boxes_np, obj_np = np.asarray(boxes), np.asarray(obj)  # -> host
+        # boundary #3: host NMS (NumPy, like the reference)
+        from tests.oracles import nms_oracle
+
+        keeps = np.stack(
+            [nms_oracle(boxes_np[b], obj_np[b], rpn_cfg.nms_iou) for b in range(B)]
+        )
+        cls, deltas, mlog, ridx, rvalid = stage_rpn(
+            variables["rpointnet"], jnp.asarray(xyz_np), jnp.asarray(boxes_np), v
+        )
+        refined = apply_box_deltas(jnp.asarray(boxes_np), deltas)
+        masks = stage_masks(jnp.asarray(xyz_np), refined, ridx, mlog, v)
+        return np.asarray(masks) & keeps[..., None] & np.asarray(rvalid)[..., None]
+
+    xyz_np, valid_np = batch["xyz"], batch["valid"]
+    reference_style(xyz_np, valid_np, key)  # compile
+    t0 = time.perf_counter()
+    for _ in range(max(ITERS // 4, 3)):
+        reference_style(xyz_np, valid_np, key)
+    ref_dt = (time.perf_counter() - t0) / max(ITERS // 4, 3)
+    ref_pps = B * N / ref_dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "instance_seg_inference_points_per_sec_per_chip",
+                "value": round(fused_pps, 1),
+                "unit": "points/sec",
+                "vs_baseline": round(fused_pps / ref_pps, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Instance-segmentation AP — ScanNet benchmark protocol (host side).
+
+The reference vendors/invokes the official ScanNet
+``evaluate_semantic_instance`` scripts (SURVEY.md §2.2 "Inference + eval
+driver"). This module implements the same protocol from its public
+definition: per-class, per-IoU-threshold greedy matching of
+score-descending predictions to GT instances (each GT matched at most
+once), then area under the interpolated precision-recall curve. Reported
+metrics: AP@0.25, AP@0.5, and AP averaged over thresholds 0.5:0.95:0.05,
+as on the benchmark.
+
+Host-side NumPy by design — evaluation consumes dumped predictions and is
+not on the training/inference hot path (same as the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+OVERLAPS_AP = np.arange(0.5, 1.0, 0.05)
+
+
+@dataclasses.dataclass
+class ScenePredictions:
+    """One scene's predictions: masks (R, N) bool, scores (R,), classes (R,)."""
+
+    masks: np.ndarray
+    scores: np.ndarray
+    classes: np.ndarray
+
+
+@dataclasses.dataclass
+class SceneGT:
+    """One scene's ground truth: per-point instance ids (0 = none) and the
+    semantic class of each instance id."""
+
+    inst_label: np.ndarray  # (N,) i32
+    inst_class: dict[int, int]  # instance id -> semantic class
+
+
+def _mask_iou(pred_mask: np.ndarray, gt_mask: np.ndarray) -> float:
+    inter = np.logical_and(pred_mask, gt_mask).sum()
+    union = np.logical_or(pred_mask, gt_mask).sum()
+    return float(inter) / float(union) if union > 0 else 0.0
+
+
+def _average_precision(tp: np.ndarray, fp: np.ndarray, n_gt: int) -> float:
+    """All-point interpolated AP (precision envelope), the standard used by
+    the ScanNet evaluator."""
+    if n_gt == 0:
+        return float("nan")
+    if len(tp) == 0:
+        return 0.0
+    ctp = np.cumsum(tp)
+    cfp = np.cumsum(fp)
+    recall = ctp / n_gt
+    precision = ctp / np.maximum(ctp + cfp, 1e-12)
+    # precision envelope
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[1.0], precision, [0.0]])
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def evaluate_instances(
+    predictions: list[ScenePredictions],
+    ground_truths: list[SceneGT],
+    class_ids: list[int],
+    overlaps: np.ndarray | None = None,
+) -> dict:
+    """AP per class per overlap, plus the benchmark summary numbers.
+
+    Returns dict with 'ap' (mAP 0.5:0.95), 'ap_50', 'ap_25', and
+    'per_class' {class_id: {'ap': ..., 'ap_50': ..., 'ap_25': ...}}.
+    """
+    assert len(predictions) == len(ground_truths)
+    all_overlaps = np.unique(
+        np.concatenate([overlaps if overlaps is not None else OVERLAPS_AP, [0.25, 0.5]])
+    )
+    # ap_table[class][overlap] = AP
+    ap_table: dict[int, dict[float, float]] = {c: {} for c in class_ids}
+
+    for cls in class_ids:
+        # gather per-scene GT masks of this class
+        scene_gt_masks = []
+        n_gt = 0
+        for gt in ground_truths:
+            masks = []
+            for iid, icls in gt.inst_class.items():
+                if icls == cls and iid > 0:
+                    masks.append(gt.inst_label == iid)
+            scene_gt_masks.append(masks)
+            n_gt += len(masks)
+
+        # gather predictions of this class across scenes
+        entries = []  # (score, scene_idx, pred_idx)
+        for si, pred in enumerate(predictions):
+            sel = np.where(pred.classes == cls)[0]
+            for pi in sel:
+                entries.append((float(pred.scores[pi]), si, int(pi)))
+        entries.sort(key=lambda e: -e[0])
+
+        # precompute IoUs pred x gt per scene (lazily per entry)
+        for ov in all_overlaps:
+            matched = [np.zeros(len(m), bool) for m in scene_gt_masks]
+            tp = np.zeros(len(entries))
+            fp = np.zeros(len(entries))
+            for ei, (_, si, pi) in enumerate(entries):
+                pm = predictions[si].masks[pi]
+                best_iou, best_j = 0.0, -1
+                for j, gm in enumerate(scene_gt_masks[si]):
+                    if matched[si][j]:
+                        continue
+                    iou = _mask_iou(pm, gm)
+                    if iou > best_iou:
+                        best_iou, best_j = iou, j
+                if best_j >= 0 and best_iou >= ov:
+                    matched[si][best_j] = True
+                    tp[ei] = 1
+                else:
+                    fp[ei] = 1
+            ap_table[cls][float(ov)] = _average_precision(tp, fp, n_gt)
+
+    def _mean(vals):
+        vals = [v for v in vals if not np.isnan(v)]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    per_class = {
+        c: {
+            "ap": _mean([ap_table[c][float(o)] for o in OVERLAPS_AP]),
+            "ap_50": ap_table[c][0.5],
+            "ap_25": ap_table[c][0.25],
+        }
+        for c in class_ids
+    }
+    return {
+        "ap": _mean([per_class[c]["ap"] for c in class_ids]),
+        "ap_50": _mean([per_class[c]["ap_50"] for c in class_ids]),
+        "ap_25": _mean([per_class[c]["ap_25"] for c in class_ids]),
+        "per_class": per_class,
+    }
+
+
+def predictions_from_device(preds, scene_valid=None) -> list[ScenePredictions]:
+    """Convert a batched InstancePredictions pytree (device) to per-scene
+    host predictions, dropping invalid proposal slots and padded points."""
+    masks = np.asarray(preds.masks)
+    scores = np.asarray(preds.scores)
+    classes = np.asarray(preds.classes)
+    valid = np.asarray(preds.valid)
+    out = []
+    for bi in range(masks.shape[0]):
+        keep = valid[bi]
+        m = masks[bi][keep]
+        if scene_valid is not None:
+            m = m[:, np.asarray(scene_valid)[bi]]
+        out.append(
+            ScenePredictions(
+                masks=m, scores=scores[bi][keep], classes=classes[bi][keep]
+            )
+        )
+    return out
+
+
+def gt_from_labels(inst_label: np.ndarray, sem_label: np.ndarray) -> SceneGT:
+    """Build SceneGT from per-point instance + semantic label arrays."""
+    inst_class = {}
+    for iid in np.unique(inst_label):
+        if iid <= 0:
+            continue
+        members = inst_label == iid
+        inst_class[int(iid)] = int(np.bincount(sem_label[members]).argmax())
+    return SceneGT(inst_label=inst_label, inst_class=inst_class)

@@ -1,0 +1,149 @@
+"""Full-scene instance-segmentation inference: GSPN proposals -> on-device
+NMS -> Point RoIAlign -> heads -> per-point masks, one XLA program.
+
+This is the reference's test/eval driver datapath (SURVEY.md §3.3) with its
+three host boundaries (feed_dict upload, host NMS, host mask projection)
+eliminated — the BASELINE.json north star. The host only sees final
+fixed-shape arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from gspn_tpu import ops
+from gspn_tpu.models.gspn import GSPN, GSPNConfig, proposal_boxes
+from gspn_tpu.models.rpointnet import (
+    RPointNet,
+    RPointNetConfig,
+    apply_box_deltas,
+    gather_roi_features,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    gspn: GSPNConfig = GSPNConfig()
+    rpointnet: RPointNetConfig = RPointNetConfig()
+    num_seeds: int = 128  # proposals per scene before NMS
+    score_thresh: float = 0.05
+    mask_thresh: float = 0.5
+
+
+@flax.struct.dataclass
+class InstancePredictions:
+    """Fixed-shape per-scene predictions (R proposal slots)."""
+
+    masks: jax.Array  # (B, R, N) bool — per-point membership
+    scores: jax.Array  # (B, R) f32 — objectness * cls prob
+    classes: jax.Array  # (B, R) i32 — semantic class (1..C)
+    boxes: jax.Array  # (B, R, 6) refined boxes
+    valid: jax.Array  # (B, R) bool — survives NMS + score threshold
+
+
+def project_roi_masks(xyz, boxes, roi_idx, mask_logits, mask_thresh, valid=None):
+    """Nearest-sampled-point projection of RoI mask logits to every scene
+    point inside the (refined) box. Returns (B, R, N) bool.
+
+    The reference projects masks back to scene points host-side; this is
+    the same 1-NN rule on-device.
+    """
+    b, r, s = roi_idx.shape
+    n = xyz.shape[1]
+    sampled = jnp.take_along_axis(
+        xyz, roi_idx.reshape(b, r * s, 1), axis=1
+    ).reshape(b, r, s, 3)
+
+    inside = jnp.all(
+        jnp.logical_and(
+            xyz[:, None, :, :] >= boxes[..., None, 0:3],
+            xyz[:, None, :, :] <= boxes[..., None, 3:6],
+        ),
+        axis=-1,
+    )  # (B, R, N)
+    if valid is not None:
+        inside = jnp.logical_and(inside, valid[:, None, :])
+
+    # 1-NN over the S sampled points, per roi (distances in f32)
+    d = xyz[:, None, :, None, :] - sampled[:, :, None, :, :]  # (B,R,N,S,3)
+    d2 = jnp.sum(d * d, axis=-1)
+    nearest = jnp.argmin(d2, axis=-1)  # (B, R, N)
+    logit = jnp.take_along_axis(mask_logits, nearest.reshape(b, r, n), axis=-1)
+    return jnp.logical_and(inside, jax.nn.sigmoid(logit) > mask_thresh)
+
+
+def make_inference_fn(cfg: PipelineConfig):
+    """Returns ``infer(variables, xyz, features, valid, rng) ->
+    InstancePredictions`` where ``variables`` is a dict with 'gspn' and
+    'rpointnet' variable collections. Jit-friendly, static shapes."""
+    gspn = GSPN(cfg.gspn)
+    rpn = RPointNet(cfg.rpointnet)
+
+    def infer(variables, xyz, features=None, valid=None, rng=None):
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        seed_idx = ops.farthest_point_sample(
+            cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl
+        )
+        gout = gspn.apply(
+            variables["gspn"],
+            xyz,
+            seed_idx,
+            features=features,
+            valid=valid,
+            z_rng=rng,
+            train=False,
+        )
+        boxes = proposal_boxes(gout.generated, cfg.rpointnet.box_margin)
+        obj = jax.nn.sigmoid(gout.objectness)
+        keep = ops.nms_3d_batched(boxes, obj, cfg.rpointnet.nms_iou)
+
+        out = rpn.apply(
+            variables["rpointnet"], xyz, boxes, features=features,
+            valid=valid, train=False,
+        )
+        cls_prob = jax.nn.softmax(out.cls_logits, axis=-1)
+        fg_prob = cls_prob[..., 1:]  # drop background column
+        cls = (jnp.argmax(fg_prob, axis=-1) + 1).astype(jnp.int32)
+        score = obj * jnp.max(fg_prob, axis=-1)
+        refined = apply_box_deltas(boxes, out.box_deltas)
+
+        pvalid = jnp.logical_and(
+            jnp.logical_and(keep, out.roi_valid), score > cfg.score_thresh
+        )
+        masks = project_roi_masks(
+            xyz, refined, out.roi_idx, out.mask_logits, cfg.mask_thresh, valid
+        )
+        masks = jnp.logical_and(masks, pvalid[..., None])
+        return InstancePredictions(
+            masks=masks,
+            scores=jnp.where(pvalid, score, 0.0),
+            classes=cls,
+            boxes=refined,
+            valid=pvalid,
+        )
+
+    return infer
+
+
+def init_pipeline_variables(cfg: PipelineConfig, rng, n: int, feature_dim: int = 0):
+    """Initialize both stages' variables against dummy static-shape inputs."""
+    k1, k2, k3 = jax.random.split(rng, 3)
+    xyz = jnp.zeros((1, n, 3), jnp.float32)
+    feats = jnp.zeros((1, n, feature_dim), jnp.float32) if feature_dim else None
+    seed_idx = jnp.zeros((1, cfg.num_seeds), jnp.int32)
+    gspn_vars = GSPN(cfg.gspn).init(
+        k1, xyz, seed_idx, features=feats, z_rng=k2, train=False
+    )
+    boxes = jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0]], jnp.float32),
+        (1, cfg.num_seeds, 1),
+    ).reshape(1, cfg.num_seeds, 6)
+    rpn_vars = RPointNet(cfg.rpointnet).init(
+        k3, xyz, boxes, features=feats, train=False
+    )
+    return {"gspn": gspn_vars, "rpointnet": rpn_vars}

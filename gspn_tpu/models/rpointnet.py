@@ -1,0 +1,384 @@
+"""R-PointNet — instance segmentation over GSPN proposals, TPU-native.
+
+Re-implements the reference's second-stage model (``models/
+model_rpointnet.py``-equivalent; reconstructed from the paper + SURVEY.md
+§2.2 [K-PAPER]):
+
+(a) backbone: PointNet++ SA x4 + FP x4 over the scene -> per-point features;
+(b) proposals -> axis-aligned RoI boxes from generated-shape extents;
+(c) Point RoIAlign: a fixed number of scene points sampled inside each RoI,
+    coordinates canonicalized to the RoI frame, backbone features gathered
+    (the reference interpolates via three_nn because its sample points may
+    not be dataset points; ours are, so the gather IS the interpolation and
+    runs as one fused HLO);
+(d) heads: per-RoI PointNet -> classification over semantic classes (+
+    background), per-point MLP -> binary instance mask inside the RoI, and
+    a box-refinement regressor.
+
+Training matches RoIs to GT instances by 3D IoU (fg > fg_thresh, bg <
+bg_thresh) with softmax CE (cls), per-point BCE on foreground RoIs (mask),
+and huber (box) — all masked, all on-device. NMS is on-device too
+(``ops.nms_3d_batched``), so full-scene inference is one XLA program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from gspn_tpu import ops
+from gspn_tpu.models.gspn import huber
+from gspn_tpu.nn.layers import FCLayers, PointMLP, masked_max
+from gspn_tpu.nn.pointnet2 import PointNetFPModule, PointNetSAModule
+
+
+@dataclasses.dataclass(frozen=True)
+class SALayerSpec:
+    npoint: int
+    radius: float
+    nsample: int
+    mlp: tuple[int, ...]
+
+
+@dataclasses.dataclass(frozen=True)
+class RPointNetConfig:
+    # backbone (ScanNet-scale defaults; reference uses SA x4 + FP x4)
+    sa_layers: tuple[SALayerSpec, ...] = (
+        SALayerSpec(1024, 0.1, 32, (32, 32, 64)),
+        SALayerSpec(256, 0.2, 32, (64, 64, 128)),
+        SALayerSpec(64, 0.4, 32, (128, 128, 256)),
+        SALayerSpec(16, 0.8, 32, (256, 256, 512)),
+    )
+    fp_mlps: tuple[tuple[int, ...], ...] = (
+        (256, 256),
+        (256, 256),
+        (256, 128),
+        (128, 128, 128),
+    )
+    feature_dim: int = 0  # extra per-point input features
+    # RoI align + heads
+    roi_samples: int = 64
+    roi_mlp: tuple[int, ...] = (128, 256)
+    cls_fc: tuple[int, ...] = (256, 128)
+    box_fc: tuple[int, ...] = (256, 128)
+    mask_mlp: tuple[int, ...] = (128, 128)
+    num_classes: int = 18  # semantic classes (ScanNet benchmark = 18)
+    # matching / NMS
+    fg_iou: float = 0.5
+    bg_iou: float = 0.25
+    nms_iou: float = 0.25
+    box_margin: float = 0.1
+    use_bn: bool = True
+    ops_impl: str = "auto"
+    dtype: Any = jnp.float32
+
+
+class Backbone(nn.Module):
+    """PointNet++ SA x k + FP x k -> per-point feature map (B, N, C)."""
+
+    config: RPointNetConfig
+
+    @nn.compact
+    def __call__(self, xyz, features=None, valid=None, train: bool = False):
+        cfg = self.config
+        xs, fs, vs = [xyz], [features], [valid]
+        for i, spec in enumerate(cfg.sa_layers):
+            nx, nf, nv = PointNetSAModule(
+                npoint=spec.npoint,
+                radius=spec.radius,
+                nsample=spec.nsample,
+                mlp=spec.mlp,
+                use_bn=cfg.use_bn,
+                ops_impl=cfg.ops_impl,
+                dtype=cfg.dtype,
+                name=f"sa{i + 1}",
+            )(xs[-1], fs[-1], vs[-1], train=train)
+            xs.append(nx)
+            fs.append(nf)
+            vs.append(nv)
+        feat = fs[-1]
+        for i, mlp in enumerate(cfg.fp_mlps):
+            lvl = len(cfg.sa_layers) - 1 - i  # target level
+            feat = PointNetFPModule(
+                mlp, use_bn=cfg.use_bn, dtype=cfg.dtype, name=f"fp{i + 1}"
+            )(
+                xs[lvl],
+                xs[lvl + 1],
+                fs[lvl],
+                feat,
+                vs[lvl],
+                vs[lvl + 1],
+                train=train,
+            )
+        return feat  # (B, N, fp_mlps[-1][-1])
+
+
+# ---------------------------------------------------------------------------
+# Point RoIAlign
+# ---------------------------------------------------------------------------
+
+
+def point_roi_align(xyz, boxes, s: int, valid=None):
+    """Sample the first ``s`` scene points inside each box (cycling with
+    replacement when the box holds fewer), canonicalize to the RoI frame.
+
+    xyz (B, N, 3), boxes (B, R, 6) -> (idx (B, R, S) i32,
+    canon (B, R, S, 3), roi_valid (B, R) bool, in_cnt (B, R) i32).
+    """
+    n = xyz.shape[1]
+    lo = boxes[..., None, 0:3]  # (B, R, 1, 3)
+    hi = boxes[..., None, 3:6]
+    p = xyz[:, None, :, :]  # (B, 1, N, 3)
+    inside = jnp.all(jnp.logical_and(p >= lo, p <= hi), axis=-1)  # (B, R, N)
+    if valid is not None:
+        inside = jnp.logical_and(inside, valid[:, None, :])
+    pos = jnp.where(inside, jnp.arange(n, dtype=jnp.int32), n)
+    neg_top, _ = jax.lax.top_k(-pos, s)
+    first_s = jnp.where(-neg_top >= n, 0, -neg_top)  # (B, R, S) ascending
+    cnt = jnp.sum(inside, axis=-1).astype(jnp.int32)
+    # cycle with replacement: slot k -> first_s[k mod cnt]
+    k = jnp.arange(s, dtype=jnp.int32)
+    wrap = jnp.mod(
+        jnp.broadcast_to(k, first_s.shape), jnp.maximum(cnt, 1)[..., None]
+    )
+    idx = jnp.take_along_axis(first_s, wrap, axis=-1)
+    roi_valid = cnt > 0
+    idx = jnp.where(roi_valid[..., None], idx, 0)
+
+    b, r, _ = idx.shape
+    pts = jnp.take_along_axis(xyz, idx.reshape(b, r * s, 1), axis=1)
+    pts = pts.reshape(b, r, s, 3)
+    center = (boxes[..., 0:3] + boxes[..., 3:6]) * 0.5
+    extent = jnp.maximum(boxes[..., 3:6] - boxes[..., 0:3], 1e-6)
+    canon = (pts - center[..., None, :]) / extent[..., None, :]
+    return idx, canon, roi_valid, jnp.minimum(cnt, s)
+
+
+def gather_roi_features(features, idx):
+    """(B, N, C), (B, R, S) -> (B, R, S, C)."""
+    b, r, s = idx.shape
+    c = features.shape[-1]
+    flat = jnp.take_along_axis(features, idx.reshape(b, r * s, 1), axis=1)
+    return flat.reshape(b, r, s, c)
+
+
+# ---------------------------------------------------------------------------
+# Heads
+# ---------------------------------------------------------------------------
+
+
+@flax.struct.dataclass
+class RoIOutputs:
+    cls_logits: jax.Array  # (B, R, num_classes + 1); class 0 = background
+    box_deltas: jax.Array  # (B, R, 6): center offset (×extent) + log-scale
+    mask_logits: jax.Array  # (B, R, S)
+    roi_idx: jax.Array  # (B, R, S) sampled scene-point indices
+    roi_valid: jax.Array  # (B, R) bool
+
+
+class RoIHeads(nn.Module):
+    config: RPointNetConfig
+
+    @nn.compact
+    def __call__(self, canon, roi_feats, roi_valid, train: bool = False):
+        """canon (B,R,S,3), roi_feats (B,R,S,C) -> RoI head outputs
+        (roi_idx filled by caller)."""
+        cfg = self.config
+        x = jnp.concatenate([canon.astype(cfg.dtype), roi_feats], axis=-1)
+        pt = PointMLP(
+            cfg.roi_mlp, use_bn=cfg.use_bn, dtype=cfg.dtype, name="roi_mlp"
+        )(x, train=train)  # (B, R, S, C')
+        pooled = jnp.max(pt, axis=-2)  # (B, R, C')
+        cls_logits = FCLayers(
+            cfg.cls_fc, cfg.num_classes + 1, dtype=cfg.dtype, name="cls"
+        )(pooled, train)
+        box_deltas = FCLayers(
+            cfg.box_fc, 6, dtype=cfg.dtype, name="box"
+        )(pooled, train)
+        per_pt = jnp.concatenate(
+            [pt, jnp.broadcast_to(pooled[..., None, :], pt.shape[:-1] + (pooled.shape[-1],))],
+            axis=-1,
+        )
+        mask_logits = PointMLP(
+            cfg.mask_mlp,
+            use_bn=cfg.use_bn,
+            last_activation=True,
+            dtype=cfg.dtype,
+            name="mask_mlp",
+        )(per_pt, train=train)
+        mask_logits = nn.Dense(
+            1, dtype=cfg.dtype, param_dtype=jnp.float32, name="mask_out"
+        )(mask_logits)[..., 0]
+        return (
+            cls_logits.astype(jnp.float32),
+            box_deltas.astype(jnp.float32),
+            mask_logits.astype(jnp.float32),
+        )
+
+
+class RPointNet(nn.Module):
+    """Backbone + Point RoIAlign + heads. Proposal boxes come from GSPN
+    (or GT-perturbed boxes during isolated stage-2 training)."""
+
+    config: RPointNetConfig
+
+    @nn.compact
+    def __call__(
+        self, xyz, boxes, features=None, valid=None, train: bool = False
+    ) -> RoIOutputs:
+        cfg = self.config
+        feat = Backbone(cfg, name="backbone")(xyz, features, valid, train)
+        idx, canon, roi_valid, _ = point_roi_align(
+            xyz, boxes, cfg.roi_samples, valid
+        )
+        roi_feats = gather_roi_features(feat, idx)
+        cls_logits, box_deltas, mask_logits = RoIHeads(cfg, name="heads")(
+            canon, roi_feats, roi_valid, train
+        )
+        neg = jnp.asarray(-1e4, jnp.float32)
+        cls_logits = jnp.where(roi_valid[..., None], cls_logits, 0.0)
+        mask_logits = jnp.where(roi_valid[..., None], mask_logits, neg)
+        return RoIOutputs(
+            cls_logits=cls_logits,
+            box_deltas=box_deltas,
+            mask_logits=mask_logits,
+            roi_idx=idx,
+            roi_valid=roi_valid,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Box utilities + GT construction + matching/losses
+# ---------------------------------------------------------------------------
+
+
+def apply_box_deltas(boxes, deltas):
+    """Refine boxes: deltas = (dxyz in extent units, dlog-extent)."""
+    center = (boxes[..., 0:3] + boxes[..., 3:6]) * 0.5
+    extent = jnp.maximum(boxes[..., 3:6] - boxes[..., 0:3], 1e-6)
+    new_center = center + deltas[..., 0:3] * extent
+    new_extent = extent * jnp.exp(jnp.clip(deltas[..., 3:6], -4.0, 4.0))
+    return jnp.concatenate(
+        [new_center - new_extent / 2, new_center + new_extent / 2], axis=-1
+    )
+
+
+def box_deltas_between(src, dst):
+    """Inverse of apply_box_deltas: the regression target taking src->dst."""
+    sc = (src[..., 0:3] + src[..., 3:6]) * 0.5
+    se = jnp.maximum(src[..., 3:6] - src[..., 0:3], 1e-6)
+    dc = (dst[..., 0:3] + dst[..., 3:6]) * 0.5
+    de = jnp.maximum(dst[..., 3:6] - dst[..., 0:3], 1e-6)
+    return jnp.concatenate([(dc - sc) / se, jnp.log(de / se)], axis=-1)
+
+
+def instance_gt_boxes(xyz, inst_label, sem_label, max_instances: int):
+    """Per-instance GT boxes/classes from per-point labels, on-device.
+
+    Returns boxes (B, I, 6), cls (B, I) i32 (0 where absent),
+    present (B, I) bool. Instance i occupies label value i+1.
+    """
+    b, n, _ = xyz.shape
+    ids = jnp.arange(1, max_instances + 1, dtype=jnp.int32)
+    member = inst_label[:, None, :] == ids[None, :, None]  # (B, I, N)
+    present = jnp.any(member, axis=-1)
+    big = jnp.asarray(1e9, xyz.dtype)
+    px = xyz[:, None, :, :]
+    lo = jnp.min(jnp.where(member[..., None], px, big), axis=2)
+    hi = jnp.max(jnp.where(member[..., None], px, -big), axis=2)
+    boxes = jnp.where(
+        present[..., None],
+        jnp.concatenate([lo, hi], -1),
+        jnp.zeros((b, max_instances, 6), xyz.dtype),
+    )
+    # instance class = max semantic label over members (labels are uniform
+    # within an instance by construction)
+    cls = jnp.max(
+        jnp.where(member, sem_label[:, None, :], 0), axis=-1
+    ).astype(jnp.int32)
+    return boxes, cls, present
+
+
+@flax.struct.dataclass
+class RoIMatch:
+    matched_inst: jax.Array  # (B, R) i32 index into I (argmax IoU)
+    matched_iou: jax.Array  # (B, R)
+    is_fg: jax.Array  # (B, R) bool
+    is_bg: jax.Array  # (B, R) bool
+    cls_target: jax.Array  # (B, R) i32, 0 = background
+    box_target: jax.Array  # (B, R, 6) deltas (valid on fg)
+
+
+def match_rois(rois, roi_valid, gt_boxes, gt_cls, gt_present, fg_iou, bg_iou):
+    """IoU matching of proposal boxes to GT instance boxes."""
+    iou = ops.box_iou(rois, gt_boxes)  # (B, R, I)
+    iou = jnp.where(gt_present[:, None, :], iou, -1.0)
+    matched = jnp.argmax(iou, axis=-1).astype(jnp.int32)
+    best = jnp.max(iou, axis=-1)
+    is_fg = jnp.logical_and(best >= fg_iou, roi_valid)
+    is_bg = jnp.logical_and(best < bg_iou, roi_valid)
+    cls_t = jnp.where(
+        is_fg, jnp.take_along_axis(gt_cls, matched, axis=1), 0
+    ).astype(jnp.int32)
+    mb = jnp.take_along_axis(
+        gt_boxes, matched[..., None], axis=1
+    )  # (B, R, 6)
+    box_t = box_deltas_between(rois, mb)
+    return RoIMatch(
+        matched_inst=matched,
+        matched_iou=best,
+        is_fg=is_fg,
+        is_bg=is_bg,
+        cls_target=cls_t,
+        box_target=box_t,
+    )
+
+
+def rpointnet_loss(
+    out: RoIOutputs,
+    match: RoIMatch,
+    inst_label,  # (B, N) i32
+    cls_weight: float = 1.0,
+    box_weight: float = 1.0,
+    mask_weight: float = 1.0,
+):
+    """cls CE over fg+bg, box huber over fg, per-point mask BCE over fg."""
+    train_mask = jnp.logical_or(match.is_fg, match.is_bg).astype(jnp.float32)
+    ntr = jnp.maximum(jnp.sum(train_mask), 1.0)
+    fg = match.is_fg.astype(jnp.float32)
+    nfg = jnp.maximum(jnp.sum(fg), 1.0)
+
+    logp = jax.nn.log_softmax(out.cls_logits, axis=-1)
+    ce = -jnp.take_along_axis(logp, match.cls_target[..., None], axis=-1)[..., 0]
+    cls_term = jnp.sum(ce * train_mask) / ntr
+
+    box_err = jnp.sum(huber(out.box_deltas - match.box_target), axis=-1)
+    box_term = jnp.sum(box_err * fg) / nfg
+
+    # mask targets: sampled point's instance == matched instance (id = i+1)
+    pt_inst = jnp.take_along_axis(
+        inst_label[:, None, :].repeat(out.roi_idx.shape[1], axis=1),
+        out.roi_idx,
+        axis=-1,
+    )  # (B, R, S)
+    target = (pt_inst == (match.matched_inst[..., None] + 1)).astype(jnp.float32)
+    logit = out.mask_logits
+    bce = (
+        jnp.maximum(logit, 0.0) - logit * target + jnp.log1p(jnp.exp(-jnp.abs(logit)))
+    )
+    mask_term = jnp.sum(jnp.mean(bce, axis=-1) * fg) / nfg
+
+    total = cls_weight * cls_term + box_weight * box_term + mask_weight * mask_term
+    return total, {
+        "loss": total,
+        "cls": cls_term,
+        "box": box_term,
+        "mask": mask_term,
+        "num_fg": jnp.sum(fg),
+        "num_bg": jnp.sum(match.is_bg),
+    }

@@ -143,13 +143,16 @@ def masked_max(x, mask, axis: int):
     valid entry return 0 (matching a maxpool over all-replicated padding).
     """
     neg = jnp.asarray(-1e10, x.dtype)
-    xm = jnp.where(mask[..., None], x, neg)
-    out = jnp.max(xm, axis=axis)
-    any_valid = jnp.any(mask, axis=axis)
-    return jnp.where(any_valid[..., None], out, jnp.zeros_like(out))
+    m = mask[..., None]  # expand to x's rank so `axis` means the same thing
+    ax = axis % x.ndim
+    xm = jnp.where(m, x, neg)
+    out = jnp.max(xm, axis=ax)
+    any_valid = jnp.any(m, axis=ax)  # (..., 1), broadcasts over channels
+    return jnp.where(any_valid, out, jnp.zeros_like(out))
 
 
 def masked_mean(x, mask, axis: int):
     w = mask.astype(x.dtype)[..., None]
-    tot = jnp.maximum(jnp.sum(w, axis=axis), 1.0)
-    return jnp.sum(x * w, axis=axis) / tot
+    ax = axis % x.ndim
+    tot = jnp.maximum(jnp.sum(w, axis=ax), 1.0)
+    return jnp.sum(x * w, axis=ax) / tot

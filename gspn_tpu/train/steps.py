@@ -1,0 +1,202 @@
+"""Jitted train/eval step factories — the reference's ``sess.run(train_op)``
+loop bodies (SURVEY.md §3.1/§3.2) as pure functions over a TrainState.
+
+Structure: each stage exposes a ``loss_fn(params, batch_stats, batch, rng)
+-> (loss, (metrics, new_batch_stats))``; :func:`make_train_step` turns any
+such loss_fn into a single-chip jitted update, and
+``gspn_tpu.parallel.dp.make_dp_train_step`` turns the same loss_fn into a
+multi-chip data-parallel update (grad psum over the mesh) — the loss code
+is shared verbatim between the two.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from gspn_tpu import ops
+from gspn_tpu.data.instances import gather_seed_instances
+from gspn_tpu.models.gspn import GSPN, gspn_loss, proposal_boxes
+from gspn_tpu.models.rpointnet import (
+    RPointNet,
+    instance_gt_boxes,
+    match_rois,
+    rpointnet_loss,
+)
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        return cls(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: GSPN CVAE
+# ---------------------------------------------------------------------------
+
+
+def make_gspn_loss_fn(
+    model: GSPN,
+    num_seeds: int,
+    gt_size: int,
+    loss_weights: dict | None = None,
+):
+    """``batch``: xyz (B,N,3), valid (B,N) bool, inst_label (B,N) i32,
+    optional features (B,N,F). Seed sampling (FPS), GT pairing, forward and
+    loss are all inside the traced function — no host round-trips."""
+    lw = loss_weights or {}
+
+    def loss_fn(params, batch_stats, batch, rng):
+        z_rng = rng
+        xyz, valid = batch["xyz"], batch["valid"]
+        seed_idx = ops.farthest_point_sample(
+            num_seeds, xyz, valid, impl=model.config.ops_impl
+        )
+        gt_points, gt_valid, gt_center, is_fg = gather_seed_instances(
+            xyz, batch["inst_label"], seed_idx, gt_size
+        )
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            xyz,
+            seed_idx,
+            features=batch.get("features"),
+            valid=valid,
+            gt_points=gt_points,
+            gt_valid=gt_valid,
+            z_rng=z_rng,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        total, metrics = gspn_loss(
+            out,
+            gt_points,
+            gt_valid,
+            gt_center,
+            is_fg,
+            impl=model.config.ops_impl,
+            **lw,
+        )
+        return total, (metrics, mutated["batch_stats"])
+
+    return loss_fn
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: R-PointNet (proposals from frozen GSPN or jittered GT boxes)
+# ---------------------------------------------------------------------------
+
+
+def make_rpointnet_loss_fn(
+    model: RPointNet,
+    max_instances: int,
+    frozen_gspn: tuple | None = None,  # (GSPN model, variables, num_seeds)
+    loss_weights: dict | None = None,
+    gt_box_jitter: float = 0.05,
+):
+    """Stage-2 loss. If ``frozen_gspn`` is given, proposal boxes come from
+    the frozen stage-1 network inside the same program (reference stage-2
+    training, SURVEY.md §3.2); otherwise GT boxes jittered with noise from
+    ``rng`` stand in (useful for isolated head training and tests)."""
+    lw = loss_weights or {}
+    cfg = model.config
+
+    def loss_fn(params, batch_stats, batch, rng):
+        xyz, valid = batch["xyz"], batch["valid"]
+        gt_boxes, gt_cls, present = instance_gt_boxes(
+            xyz, batch["inst_label"], batch["sem_label"], max_instances
+        )
+        if frozen_gspn is not None:
+            gmodel, gvars, num_seeds = frozen_gspn
+            seed_idx = ops.farthest_point_sample(
+                num_seeds, xyz, valid, impl=cfg.ops_impl
+            )
+            gout = gmodel.apply(
+                gvars,
+                jax.lax.stop_gradient(xyz),
+                seed_idx,
+                features=batch.get("features"),
+                valid=valid,
+                z_rng=rng,
+                train=False,
+            )
+            rois = jax.lax.stop_gradient(
+                proposal_boxes(gout.generated, cfg.box_margin)
+            )
+        else:
+            noise = (
+                jax.random.normal(rng, gt_boxes.shape, jnp.float32)
+                * gt_box_jitter
+            )
+            rois = jnp.where(present[..., None], gt_boxes + noise, 0.0)
+
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            xyz,
+            rois,
+            features=batch.get("features"),
+            valid=valid,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        roi_valid = (
+            jnp.logical_and(out.roi_valid, present)
+            if frozen_gspn is None
+            else out.roi_valid
+        )
+        match = match_rois(
+            rois, roi_valid, gt_boxes, gt_cls, present, cfg.fg_iou, cfg.bg_iou
+        )
+        total, metrics = rpointnet_loss(out, match, batch["inst_label"], **lw)
+        return total, (metrics, mutated["batch_stats"])
+
+    return loss_fn
+
+
+# ---------------------------------------------------------------------------
+# Generic single-chip step
+# ---------------------------------------------------------------------------
+
+
+def make_train_step(loss_fn, tx: optax.GradientTransformation):
+    """loss_fn(params, batch_stats, batch, rng) -> jitted
+    step(state, batch, rng) -> (state, metrics)."""
+
+    @jax.jit
+    def step(state: TrainState, batch, rng):
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return step
+
+
+def make_gspn_train_step(model, tx, num_seeds, gt_size, loss_weights=None):
+    return make_train_step(
+        make_gspn_loss_fn(model, num_seeds, gt_size, loss_weights), tx
+    )

@@ -1,0 +1,167 @@
+"""Stage-2 trainer: R-PointNet over (frozen) GSPN proposals.
+
+CLI parity with the reference's root ``train_rpointnet.py`` (restores
+stage-1 weights, trains backbone + heads — SURVEY.md §2.2/§3.2).
+
+    python -m gspn_tpu.train.train_rpointnet --steps 200 --batch 2 \
+        --gspn-ckpt runs/gspn/ckpt         # or --gt-boxes for isolated training
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gspn_tpu.data import synthetic
+from gspn_tpu.data.augment import augment_scene
+from gspn_tpu.models.gspn import GSPN, GSPNConfig
+from gspn_tpu.models.rpointnet import RPointNet, RPointNetConfig
+from gspn_tpu.parallel import make_dp_train_step, make_mesh
+from gspn_tpu.train.checkpoint import CheckpointManager
+from gspn_tpu.train.metrics import MetricsLogger, format_metrics
+from gspn_tpu.train.steps import (
+    TrainState,
+    make_rpointnet_loss_fn,
+    make_train_step,
+)
+from gspn_tpu.train.train_gspn import data_iterator
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="Train R-PointNet (stage 2)")
+    p.add_argument("--steps", type=int, default=1000)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--num-points", type=int, default=4096)
+    p.add_argument("--num-seeds", type=int, default=64)
+    p.add_argument("--max-instances", type=int, default=32)
+    p.add_argument("--num-classes", type=int, default=18)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--log-dir", type=str, default="runs/rpointnet")
+    p.add_argument("--gspn-ckpt", type=str, default=None,
+                   help="stage-1 checkpoint dir for frozen proposals")
+    p.add_argument("--gt-boxes", action="store_true",
+                   help="train with jittered GT boxes instead of GSPN proposals")
+    p.add_argument("--ckpt-every", type=int, default=500)
+    p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp", action="store_true")
+    p.add_argument("--synthetic", action="store_true", default=True)
+    p.add_argument("--scannet-dir", type=str, default=None)
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument("--preset", choices=["default", "tiny"], default="default")
+    return p.parse_args(argv)
+
+
+def tiny_rpointnet(num_classes: int) -> RPointNetConfig:
+    from gspn_tpu.models.rpointnet import SALayerSpec
+
+    return RPointNetConfig(
+        sa_layers=(
+            SALayerSpec(64, 0.4, 16, (16, 32)),
+            SALayerSpec(16, 0.8, 16, (32, 64)),
+        ),
+        fp_mlps=((32,), (32, 32)),
+        roi_samples=16,
+        roi_mlp=(32, 32),
+        cls_fc=(32,),
+        box_fc=(32,),
+        mask_mlp=(32,),
+        num_classes=num_classes,
+    )
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    cfg = (
+        tiny_rpointnet(args.num_classes)
+        if args.preset == "tiny"
+        else RPointNetConfig(num_classes=args.num_classes)
+    )
+    model = RPointNet(cfg)
+    tx = optax.adam(args.lr)
+    key = jax.random.PRNGKey(args.seed)
+    np_rng = np.random.default_rng(args.seed)
+
+    batches = data_iterator(args, np_rng)
+    first = {k: jnp.asarray(v) for k, v in next(batches).items()}
+
+    frozen = None
+    if args.gspn_ckpt and not args.gt_boxes:
+        from gspn_tpu.train.train_gspn import TINY_GSPN
+
+        gcfg = TINY_GSPN if args.preset == "tiny" else GSPNConfig()
+        gmodel = GSPN(gcfg)
+        from gspn_tpu import ops
+        from gspn_tpu.data.instances import gather_seed_instances
+        from gspn_tpu.train.checkpoint import CheckpointManager as CM
+
+        sidx = ops.farthest_point_sample(
+            args.num_seeds, first["xyz"], first["valid"], impl=gcfg.ops_impl
+        )
+        gp, gv, _, _ = gather_seed_instances(
+            first["xyz"], first["inst_label"], sidx, 256
+        )
+        gvars = gmodel.init(
+            key, first["xyz"], sidx, valid=first["valid"], gt_points=gp,
+            gt_valid=gv, z_rng=key, train=False,
+        )
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            TrainState.create(gvars, optax.adam(1e-3)),
+        )
+        mgr = CM(args.gspn_ckpt)
+        restored = mgr.restore(abstract)
+        mgr.close()
+        if restored is None:
+            raise FileNotFoundError(f"no stage-1 ckpt in {args.gspn_ckpt}")
+        frozen_vars = {
+            "params": restored.params,
+            "batch_stats": restored.batch_stats,
+        }
+        frozen = (gmodel, frozen_vars, args.num_seeds)
+        print(f"loaded frozen GSPN from {args.gspn_ckpt}")
+
+    # init stage-2 against dummy boxes
+    dummy_boxes = jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0]], jnp.float32),
+        (first["xyz"].shape[0], 8, 1),
+    ).reshape(first["xyz"].shape[0], 8, 6)
+    variables = model.init(
+        key, first["xyz"], dummy_boxes, valid=first["valid"], train=False
+    )
+    state = TrainState.create(variables, tx)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
+    print(f"R-PointNet: {n_params / 1e6:.2f}M params")
+
+    loss_fn = make_rpointnet_loss_fn(model, args.max_instances, frozen)
+    if args.dp:
+        step_fn = make_dp_train_step(loss_fn, tx, make_mesh())
+    else:
+        step_fn = make_train_step(loss_fn, tx)
+
+    ckpt = CheckpointManager(f"{args.log_dir}/ckpt")
+    logger = MetricsLogger(args.log_dir)
+
+    for i in range(args.steps):
+        batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
+        k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
+        if not args.no_augment:
+            batch["xyz"] = augment_scene(k_aug, batch["xyz"], batch["valid"])
+        state, metrics = step_fn(state, batch, k_step)
+        if (i + 1) % args.log_every == 0 or i == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            logger.log(int(state.step), m)
+            print(format_metrics(int(state.step), m))
+        if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
+            ckpt.save(int(state.step), state)
+    ckpt.close()
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()

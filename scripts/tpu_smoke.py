@@ -79,13 +79,9 @@ def main():
             jnp.linalg.norm(cen, axis=-1), 0.25)
         return grouped, cnt, feat, keep
 
-    out = pipeline(xyz, valid)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        out = pipeline(xyz, valid)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / 10
+    from gspn_tpu.utils.timing import time_fn
+
+    dt = time_fn(pipeline, xyz, valid, iters=10)
     print(f"fused pipeline (fps+ball+group+3nn+interp+nms, B={b}, N={n}): "
           f"{dt*1e3:.2f} ms/iter, {b*n/dt/1e6:.1f} Mpts/s")
 
@@ -102,12 +98,7 @@ def main():
         return sa.apply(v, p, None, msk, train=False)
 
     nx, feat, nv = sa_fwd(sa_vars, xyz, valid)
-    jax.block_until_ready(feat)
-    t0 = time.perf_counter()
-    for _ in range(10):
-        nx, feat, nv = sa_fwd(sa_vars, xyz, valid)
-    jax.block_until_ready(feat)
-    dt = (time.perf_counter() - t0) / 10
+    dt = time_fn(sa_fwd, sa_vars, xyz, valid, iters=10)
     assert feat.shape == (b, 1024, 128) and bool(jnp.all(jnp.isfinite(feat)))
     print(f"SA module (N={n}->1024, K=32, mlp 64-64-128): {dt*1e3:.2f} ms/iter, "
           f"{b*n/dt/1e6:.1f} Mpts/s")
