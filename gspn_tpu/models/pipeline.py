@@ -46,15 +46,17 @@ class InstancePredictions:
     valid: jax.Array  # (B, R) bool — survives NMS + score threshold
 
 
-def project_roi_masks(xyz, boxes, roi_idx, mask_logits, mask_thresh, valid=None):
+def project_roi_masks(
+    xyz, boxes, roi_idx, mask_logits, mask_thresh, valid=None, impl="auto"
+):
     """Nearest-sampled-point projection of RoI mask logits to every scene
     point inside the (refined) box. Returns (B, R, N) bool.
 
     The reference projects masks back to scene points host-side; this is
-    the same 1-NN rule on-device.
+    the same 1-NN rule on-device (Pallas kernel — see
+    ``ops.mask_project.nearest_sample_logit``).
     """
     b, r, s = roi_idx.shape
-    n = xyz.shape[1]
     sampled = jnp.take_along_axis(
         xyz, roi_idx.reshape(b, r * s, 1), axis=1
     ).reshape(b, r, s, 3)
@@ -69,11 +71,7 @@ def project_roi_masks(xyz, boxes, roi_idx, mask_logits, mask_thresh, valid=None)
     if valid is not None:
         inside = jnp.logical_and(inside, valid[:, None, :])
 
-    # 1-NN over the S sampled points, per roi (distances in f32)
-    d = xyz[:, None, :, None, :] - sampled[:, :, None, :, :]  # (B,R,N,S,3)
-    d2 = jnp.sum(d * d, axis=-1)
-    nearest = jnp.argmin(d2, axis=-1)  # (B, R, N)
-    logit = jnp.take_along_axis(mask_logits, nearest.reshape(b, r, n), axis=-1)
+    logit = ops.nearest_sample_logit(xyz, sampled, mask_logits, impl=impl)
     return jnp.logical_and(inside, jax.nn.sigmoid(logit) > mask_thresh)
 
 

@@ -15,6 +15,7 @@ from gspn_tpu.ops.interpolate import (
     three_interpolate_weights,
     three_nn,
 )
+from gspn_tpu.ops.mask_project import nearest_sample_logit
 from gspn_tpu.ops.nms import box_iou, box_volume, nms_3d, nms_3d_batched
 from gspn_tpu.ops.sampling import prob_sample, random_prob_sample
 
@@ -26,6 +27,7 @@ __all__ = [
     "gather_point",
     "group_point",
     "knn_point",
+    "nearest_sample_logit",
     "nms_3d",
     "nms_3d_batched",
     "nn_distance",

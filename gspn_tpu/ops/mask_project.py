@@ -1,0 +1,132 @@
+"""RoI-mask projection: nearest-sampled-point logit for every scene point.
+
+Used by full-scene inference to paint each RoI's per-sample mask logits
+onto all scene points (the reference does this host-side per scene;
+SURVEY.md §3.3 boundary #3). The naive XLA form materializes a
+``(B, R, N, S)`` distance tensor in HBM; this Pallas kernel streams scene
+tiles through VMEM against the (tiny) per-RoI sample set instead, so HBM
+traffic is O(B·R·N).
+
+Semantics: for scene point p and RoI r, output logit = mask logit of the
+sample nearest to p (ties -> the largest logit among tied samples).
+Box-membership and thresholding stay outside (cheap fused XLA).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gspn_tpu.ops.common import resolve_impl, round_up
+
+_NEG = -1e10
+
+
+def _nearest_logit_xla(xyz, sampled, logits):
+    d = xyz[:, None, :, None, :] - sampled[:, :, None, :, :]  # (B,R,N,S,3)
+    d2 = jnp.sum(d * d, axis=-1)
+    nearest = jnp.argmin(d2, axis=-1)  # (B, R, N)
+    return jnp.take_along_axis(logits, nearest, axis=-1)
+
+
+_ROI_BLOCK = 8  # RoIs per grid program (output sublane tiling needs >= 8)
+
+
+def _mask_project_kernel(scene_ref, samp_ref, out_ref):
+    """Grid (B, R//RB, N//TN), RB = _ROI_BLOCK RoIs per program.
+
+    scene: (1, 8, TN) rows x, y, z along lanes.
+    samp:  (1, RB, Spad, 128) — cols 0..2 sample coords, col 3 logit,
+           col 4 sample validity.
+    out:   (1, RB, TN) f32 — nearest-sample logit per scene point.
+    """
+    rb, spad = samp_ref.shape[1:3]
+    tn = out_ref.shape[2]
+    sx = samp_ref[0, :, :, 0:1]  # (RB, S, 1)
+    sy = samp_ref[0, :, :, 1:2]
+    sz = samp_ref[0, :, :, 2:3]
+    slog = samp_ref[0, :, :, 3:4]
+    svalid = samp_ref[0, :, :, 4:5] > 0.0
+    px = scene_ref[0, 0:1, :].reshape(1, 1, tn)
+    py = scene_ref[0, 1:2, :].reshape(1, 1, tn)
+    pz = scene_ref[0, 2:3, :].reshape(1, 1, tn)
+    dx = sx - px
+    dy = sy - py
+    dz = sz - pz
+    d2 = dx * dx + dy * dy + dz * dz  # (RB, S, TN)
+    d2 = jnp.where(svalid, d2, 3e10)
+    dmin = jnp.min(d2, axis=1, keepdims=True)  # (RB, 1, TN)
+    cand = jnp.where(jnp.logical_and(d2 == dmin, svalid), slog, _NEG)
+    out_ref[0, :, :] = jnp.max(cand, axis=1)
+
+
+def _mask_project_pallas(xyz, sampled, logits, svalid, interpret):
+    b, n, _ = xyz.shape
+    r, s = logits.shape[1:3]
+    npad = round_up(n, 128)
+    tn = min(1024, npad)
+    npad = round_up(npad, tn)
+    spad = round_up(s, 8)
+    rpad = round_up(r, _ROI_BLOCK)
+
+    scene = jnp.zeros((b, 8, npad), jnp.float32)
+    scene = scene.at[:, 0:3, :n].set(jnp.swapaxes(xyz.astype(jnp.float32), 1, 2))
+    samp = jnp.zeros((b, rpad, spad, 128), jnp.float32)
+    samp = samp.at[:, :r, :s, 0:3].set(sampled.astype(jnp.float32))
+    samp = samp.at[:, :r, :s, 3].set(logits.astype(jnp.float32))
+    samp = samp.at[:, :r, :s, 4].set(svalid.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        _mask_project_kernel,
+        grid=(b, rpad // _ROI_BLOCK, npad // tn),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 8, tn), lambda i, j, k: (i, 0, k), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, _ROI_BLOCK, spad, 128),
+                lambda i, j, k: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, _ROI_BLOCK, tn), lambda i, j, k: (i, j, k), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, rpad, npad), jnp.float32),
+        interpret=interpret,
+    )(scene, samp)
+    return out[:, :r, :n]
+
+
+def nearest_sample_logit(
+    xyz: jax.Array,  # (B, N, 3) scene points
+    sampled: jax.Array,  # (B, R, S, 3) per-RoI sample coords
+    logits: jax.Array,  # (B, R, S) per-sample mask logits
+    sample_valid: jax.Array | None = None,  # (B, R, S)
+    *,
+    impl: str = "auto",
+    interpret: bool | None = None,
+) -> jax.Array:
+    """(B, R, N) f32: each scene point's nearest-sample mask logit."""
+    if sample_valid is None:
+        sample_valid = jnp.ones(logits.shape, bool)
+    choice = resolve_impl(impl)
+    if choice == "pallas":
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return _mask_project_pallas(xyz, sampled, logits, sample_valid, interpret)
+    big = jnp.asarray(3e10, jnp.float32)
+    d = xyz[:, None, :, None, :] - sampled[:, :, None, :, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    d2 = jnp.where(sample_valid[:, :, None, :], d2, big)
+    dmin = jnp.min(d2, axis=-1, keepdims=True)
+    cand = jnp.where(
+        jnp.logical_and(d2 == dmin, sample_valid[:, :, None, :]),
+        logits[:, :, None, :],
+        _NEG,
+    )
+    return jnp.max(cand, axis=-1)

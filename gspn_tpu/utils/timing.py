@@ -14,15 +14,22 @@ import jax
 import numpy as np
 
 
+_reduce = None
+
+
 def sync(tree) -> None:
-    """Force completion of the program that produced ``tree``: fetch the
-    smallest output leaf to host (all leaves of one jitted call complete
-    together)."""
+    """Force completion of the program that produced ``tree``: reduce one
+    output leaf on-device and fetch the scalar (all leaves of one jitted
+    call complete together). Fetching a scalar keeps tunnel-transfer time
+    out of the measurement."""
+    global _reduce
     leaves = jax.tree_util.tree_leaves(tree)
     if not leaves:
         return
+    if _reduce is None:
+        _reduce = jax.jit(lambda x: jax.numpy.sum(x, dtype=jax.numpy.float32))
     smallest = min(leaves, key=lambda l: getattr(l, "size", 0))
-    np.asarray(jax.device_get(smallest))
+    np.asarray(jax.device_get(_reduce(smallest)))
 
 
 def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
