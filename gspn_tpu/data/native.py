@@ -1,0 +1,139 @@
+"""ctypes bindings for the native data-prep library (native/pointprep.cpp)
+with NumPy fallbacks of identical semantics.
+
+The native path accelerates the host-side hot loop of training-time data
+prep (block cropping, deterministic subsampling, fixed-shape packing,
+instance-id compaction). ``available()`` is False until
+``scripts/build_native.sh`` has produced ``native/libpointprep.so``; every
+entry point silently falls back to NumPy then, so the framework never
+requires the native build.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import functools
+import pathlib
+
+import numpy as np
+
+_LIB_PATH = (
+    pathlib.Path(__file__).resolve().parents[2] / "native" / "libpointprep.so"
+)
+
+
+@functools.cache
+def _lib():
+    if not _LIB_PATH.exists():
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    i64, f32p = ctypes.c_int64, np.ctypeslib.ndpointer(np.float32)
+    i64p = np.ctypeslib.ndpointer(np.int64)
+    i32p = np.ctypeslib.ndpointer(np.int32)
+    u8p = np.ctypeslib.ndpointer(np.uint8)
+    lib.block_crop_xy.restype = i64
+    lib.block_crop_xy.argtypes = [
+        f32p, i64, ctypes.c_float, ctypes.c_float, ctypes.c_float, i64p, i64
+    ]
+    lib.sample_without_replacement.restype = None
+    lib.sample_without_replacement.argtypes = [
+        i64p, i64, i64, ctypes.c_uint64, i64p
+    ]
+    lib.gather_pack.restype = None
+    lib.gather_pack.argtypes = [
+        f32p, f32p, i32p, i32p, i64p, i64, i64, i64,
+        f32p, f32p, i32p, i32p, u8p,
+    ]
+    lib.compact_instance_ids.restype = ctypes.c_int32
+    lib.compact_instance_ids.argtypes = [i32p, i64]
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def block_crop_xy(xyz: np.ndarray, cx: float, cy: float, half: float):
+    """Indices of points with |x-cx|,|y-cy| <= half (input order)."""
+    lib = _lib()
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    if lib is None:
+        sel = np.all(np.abs(xyz[:, :2] - [cx, cy]) <= half, axis=1)
+        return np.where(sel)[0].astype(np.int64)
+    out = np.empty(len(xyz), np.int64)
+    n = lib.block_crop_xy(xyz, len(xyz), cx, cy, half, out, len(xyz))
+    return out[:n]
+
+
+def subsample(idx: np.ndarray, k: int, seed: int) -> np.ndarray:
+    """k distinct elements of idx, deterministic in (idx, k, seed)."""
+    lib = _lib()
+    idx = np.ascontiguousarray(idx, np.int64)
+    if lib is None:
+        rng = np.random.default_rng(seed)
+        return rng.choice(idx, k, replace=False).astype(np.int64)
+    scratch = idx.copy()
+    out = np.empty(k, np.int64)
+    lib.sample_without_replacement(scratch, len(idx), k, seed, out)
+    return out
+
+
+def gather_pack(xyz, feats, sem, inst, idx, num_points: int):
+    """Gather rows at idx into fixed-size padded arrays + validity mask."""
+    lib = _lib()
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    fdim = feats.shape[1] if feats is not None and feats.size else 0
+    feats = np.ascontiguousarray(
+        feats if fdim else np.zeros((len(xyz), 0)), np.float32
+    )
+    sem = np.ascontiguousarray(sem, np.int32)
+    inst = np.ascontiguousarray(inst, np.int32)
+    idx = np.ascontiguousarray(idx, np.int64)
+    n_sel = min(len(idx), num_points)
+    if lib is None:
+        out_xyz = np.zeros((num_points, 3), np.float32)
+        out_feats = np.zeros((num_points, fdim), np.float32)
+        out_sem = np.zeros(num_points, np.int32)
+        out_inst = np.zeros(num_points, np.int32)
+        valid = np.zeros(num_points, bool)
+        sel = idx[:n_sel]
+        out_xyz[:n_sel] = xyz[sel]
+        if fdim:
+            out_feats[:n_sel] = feats[sel]
+        out_sem[:n_sel] = sem[sel]
+        out_inst[:n_sel] = inst[sel]
+        valid[:n_sel] = True
+        return out_xyz, out_feats, out_sem, out_inst, valid
+    out_xyz = np.empty((num_points, 3), np.float32)
+    out_feats = np.empty((num_points, max(fdim, 1)), np.float32)
+    out_sem = np.empty(num_points, np.int32)
+    out_inst = np.empty(num_points, np.int32)
+    valid = np.empty(num_points, np.uint8)
+    lib.gather_pack(
+        xyz, feats if fdim else out_feats, sem, inst, idx, n_sel,
+        num_points, fdim, out_xyz, out_feats, out_sem, out_inst, valid,
+    )
+    return (
+        out_xyz,
+        out_feats[:, :fdim],
+        out_sem,
+        out_inst,
+        valid.astype(bool),
+    )
+
+
+def compact_instance_ids(inst: np.ndarray) -> tuple[np.ndarray, int]:
+    """Remap positive ids to 1..K by first appearance; 0 stays 0."""
+    lib = _lib()
+    inst = np.ascontiguousarray(inst, np.int32).copy()
+    if lib is None:
+        out = np.zeros_like(inst)
+        mapping: dict[int, int] = {}
+        for i, v in enumerate(inst):
+            if v > 0:
+                if v not in mapping:
+                    mapping[v] = len(mapping) + 1
+                out[i] = mapping[v]
+        return out, len(mapping)
+    k = lib.compact_instance_ids(inst, len(inst))
+    return inst, int(k)

@@ -145,47 +145,38 @@ class ScanNetCrops:
         return self._cache[i]
 
     def crop(self, rng: np.random.Generator, i: int) -> dict:
+        """Block-crop + subsample + pack, via the native pointprep library
+        (gspn_tpu.data.native / native/pointprep.cpp) with transparent
+        NumPy fallback."""
+        from gspn_tpu.data import native
+
         sc = self._load(i)
         xyz = sc["xyz"]
         n = len(xyz)
         if n > self.num_points * 2:
-            # spatial block around a random labeled point
+            # spatial block around a random point
             center = xyz[rng.integers(0, n)]
-            half = self.block_size / 2
-            sel = np.all(np.abs(xyz[:, :2] - center[:2]) <= half, axis=1)
-            idx = np.where(sel)[0]
+            idx = native.block_crop_xy(
+                xyz, float(center[0]), float(center[1]), self.block_size / 2
+            )
             if len(idx) < 32:  # degenerate block: fall back to whole scene
-                idx = np.arange(n)
+                idx = np.arange(n, dtype=np.int64)
         else:
-            idx = np.arange(n)
-        if len(idx) >= self.num_points:
-            idx = rng.choice(idx, self.num_points, replace=False)
-            valid = np.ones(self.num_points, bool)
-        else:
-            pad = self.num_points - len(idx)
-            valid = np.concatenate([np.ones(len(idx), bool), np.zeros(pad, bool)])
-            idx = np.concatenate([idx, np.zeros(pad, np.int64)])
-        out_xyz = xyz[idx].astype(np.float32)
-        out_xyz[~valid] = 0.0
-        sem = sc["sem_label"][idx].astype(np.int32)
-        inst = sc["inst_label"][idx].astype(np.int32)
-        sem[~valid] = 0
-        inst[~valid] = 0
-        # compact instance ids within the crop to 1..K
-        uniq = np.unique(inst[inst > 0])
-        remap = np.zeros(inst.max() + 1 if inst.size else 1, np.int32)
-        for k, u in enumerate(uniq):
-            remap[u] = k + 1
-        inst = np.where(inst > 0, remap[inst], 0).astype(np.int32)
+            idx = np.arange(n, dtype=np.int64)
+        if len(idx) > self.num_points:
+            idx = native.subsample(
+                idx, self.num_points, int(rng.integers(1, 2**63 - 1))
+            )
         feats = (
-            sc["rgb"][idx].astype(np.float32)
-            if self.use_rgb and "rgb" in sc
-            else np.zeros((self.num_points, 0), np.float32)
+            sc["rgb"] if self.use_rgb and "rgb" in sc else None
         )
-        feats[~valid] = 0.0
+        out_xyz, out_feats, sem, inst, valid = native.gather_pack(
+            xyz, feats, sc["sem_label"], sc["inst_label"], idx, self.num_points
+        )
+        inst, _ = native.compact_instance_ids(inst)
         return {
             "xyz": out_xyz,
-            "features": feats,
+            "features": out_feats,
             "valid": valid,
             "sem_label": sem,
             "inst_label": inst,

@@ -1,0 +1,163 @@
+"""Inference + evaluation driver — the reference's test/eval scripts
+(SURVEY.md §3.3) as one CLI:
+
+    python -m gspn_tpu.eval.run_eval --gspn-ckpt runs/gspn/ckpt \
+        --rpointnet-ckpt runs/rpointnet/ckpt [--scannet-dir DIR] \
+        [--dump-dir preds/] [--num-scenes 20]
+
+Per scene batch: seeds -> GSPN decode (z ~ prior) -> on-device NMS ->
+Point RoIAlign -> heads -> masks, all in one XLA program; then host-side
+ScanNet-protocol AP against GT labels. With --dump-dir, per-scene
+predictions are saved as .npz for offline/official evaluation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from gspn_tpu.data import synthetic
+from gspn_tpu.eval import instance_eval as ie
+from gspn_tpu.models.gspn import GSPNConfig
+from gspn_tpu.models.pipeline import (
+    PipelineConfig,
+    init_pipeline_variables,
+    make_inference_fn,
+)
+from gspn_tpu.models.rpointnet import RPointNetConfig
+from gspn_tpu.train.checkpoint import CheckpointManager
+from gspn_tpu.train.steps import TrainState
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="GSPN instance-seg evaluation")
+    p.add_argument("--gspn-ckpt", type=str, default=None)
+    p.add_argument("--rpointnet-ckpt", type=str, default=None)
+    p.add_argument("--scannet-dir", type=str, default=None)
+    p.add_argument("--num-scenes", type=int, default=16)
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--num-points", type=int, default=4096)
+    p.add_argument("--num-seeds", type=int, default=64)
+    p.add_argument("--num-classes", type=int, default=18)
+    p.add_argument("--dump-dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--preset", choices=["default", "tiny"], default="default")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    if args.preset == "tiny":
+        from gspn_tpu.train.train_gspn import TINY_GSPN
+        from gspn_tpu.train.train_rpointnet import tiny_rpointnet
+
+        cfg = PipelineConfig(
+            gspn=TINY_GSPN,
+            rpointnet=tiny_rpointnet(args.num_classes),
+            num_seeds=args.num_seeds,
+        )
+    else:
+        cfg = PipelineConfig(
+            gspn=GSPNConfig(),
+            rpointnet=RPointNetConfig(num_classes=args.num_classes),
+            num_seeds=args.num_seeds,
+        )
+    np_rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    tx = optax.adam(1e-3)
+
+    # data source
+    if args.scannet_dir:
+        from gspn_tpu.data.scannet import ScanNetCrops
+
+        ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points)
+
+        def batches():
+            done = 0
+            while done < args.num_scenes:
+                b = min(args.batch, args.num_scenes - done)
+                yield ds.sample_batch(np_rng, b)
+                done += b
+    else:
+
+        def batches():
+            done = 0
+            while done < args.num_scenes:
+                b = min(args.batch, args.num_scenes - done)
+                yield synthetic.scene_batch(
+                    np_rng, b, n_points=args.num_points, max_instances=8
+                )
+                done += b
+
+    # variables: init fresh, then restore each stage with a checkpoint
+    first = next(iter(batches()))
+    n = first["xyz"].shape[1]
+    fdim = first["features"].shape[-1]
+    variables = init_pipeline_variables(cfg, key, n, feature_dim=fdim)
+    for name, ckpt in (("gspn", args.gspn_ckpt), ("rpointnet", args.rpointnet_ckpt)):
+        if ckpt:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                TrainState.create(variables[name], tx),
+            )
+            mgr = CheckpointManager(ckpt)
+            restored = mgr.restore(abstract)
+            mgr.close()
+            if restored is None:
+                raise FileNotFoundError(f"no checkpoint under {ckpt}")
+            variables[name] = {
+                "params": restored.params,
+                "batch_stats": restored.batch_stats,
+            }
+            print(f"restored {name} from {ckpt}")
+
+    infer = jax.jit(make_inference_fn(cfg))
+    all_preds, all_gts = [], []
+    dump_dir = pathlib.Path(args.dump_dir) if args.dump_dir else None
+    if dump_dir:
+        dump_dir.mkdir(parents=True, exist_ok=True)
+
+    scene_i = 0
+    for batch in batches():
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        feats = jb["features"] if jb["features"].shape[-1] else None
+        preds = infer(variables, jb["xyz"], feats, jb["valid"], key)
+        scenes = ie.predictions_from_device(preds, jb["valid"])
+        for bi, sp in enumerate(scenes):
+            v = batch["valid"][bi]
+            gt = ie.gt_from_labels(
+                batch["inst_label"][bi][v], batch["sem_label"][bi][v]
+            )
+            all_preds.append(sp)
+            all_gts.append(gt)
+            if dump_dir:
+                np.savez_compressed(
+                    dump_dir / f"scene_{scene_i:05d}.npz",
+                    masks=sp.masks,
+                    scores=sp.scores,
+                    classes=sp.classes,
+                )
+            scene_i += 1
+
+    class_ids = sorted({c for gt in all_gts for c in gt.inst_class.values()})
+    if not class_ids:
+        class_ids = list(range(1, args.num_classes + 1))
+    res = ie.evaluate_instances(all_preds, all_gts, class_ids)
+    summary = {
+        "scenes": scene_i,
+        "ap": res["ap"],
+        "ap_50": res["ap_50"],
+        "ap_25": res["ap_25"],
+    }
+    print(json.dumps(summary))
+    return res
+
+
+if __name__ == "__main__":
+    main()

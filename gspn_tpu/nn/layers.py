@@ -110,6 +110,7 @@ class FCLayers(nn.Module):
     hidden: Sequence[int]
     out: int
     use_bn: bool = False
+    dropout: float = 0.0  # reference: tf_util.dropout before head outputs
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -127,6 +128,8 @@ class FCLayers(nn.Module):
                     x, train=train
                 )
             x = nn.relu(x)
+            if self.dropout > 0.0:
+                x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)
         return nn.Dense(
             self.out,
             dtype=self.dtype,

@@ -56,9 +56,8 @@ def _fps_single_xla(xyz: jax.Array, npoint: int, valid: jax.Array | None):
         mind, prev, out = carry
         p = xyz[prev]
         d = jnp.sum((xyz - p) ** 2, axis=-1)
+        # invalid entries start at -1 and d >= 0: min keeps them excluded
         mind = jnp.minimum(mind, d)
-        if valid is not None:
-            mind = jnp.where(valid, mind, -1.0)
         nxt = jnp.argmax(mind).astype(jnp.int32)
         out = out.at[i].set(nxt)
         return mind, nxt, out
@@ -114,8 +113,9 @@ def _fps_kernel(x_ref, y_ref, z_ref, v_ref, idx_ref, *, npoint: int, n: int):
         dy = y - cy
         dz = z - cz
         d = dx * dx + dy * dy + dz * dz
+        # invalid lanes hold -1 and d >= 0, so min keeps them excluded —
+        # no per-step re-mask needed
         mind = jnp.minimum(mind, d)
-        mind = jnp.where(vmask, mind, -1.0)
         best = jnp.max(mind, axis=1, keepdims=True)
         nxt = jnp.min(
             jnp.where(mind == best, iota, n), axis=1, keepdims=True

@@ -57,18 +57,29 @@ def make_gspn_loss_fn(
     num_seeds: int,
     gt_size: int,
     loss_weights: dict | None = None,
+    seed_method: str = "fps",
 ):
     """``batch``: xyz (B,N,3), valid (B,N) bool, inst_label (B,N) i32,
-    optional features (B,N,F). Seed sampling (FPS), GT pairing, forward and
-    loss are all inside the traced function — no host round-trips."""
+    optional features (B,N,F). Seed sampling, GT pairing, forward and
+    loss are all inside the traced function — no host round-trips.
+
+    seed_method: "fps" (deterministic farthest-point coverage, reference
+    default) or "random" (uniform over valid points via the prob_sample
+    inverse-CDF op, the reference's randomized alternative)."""
     lw = loss_weights or {}
+    if seed_method not in ("fps", "random"):
+        raise ValueError(f"seed_method must be fps|random, got {seed_method}")
 
     def loss_fn(params, batch_stats, batch, rng):
-        z_rng = rng
+        seed_rng, z_rng = jax.random.split(rng)
         xyz, valid = batch["xyz"], batch["valid"]
-        seed_idx = ops.farthest_point_sample(
-            num_seeds, xyz, valid, impl=model.config.ops_impl
-        )
+        if seed_method == "random":
+            weights = valid.astype(jnp.float32)
+            seed_idx = ops.random_prob_sample(seed_rng, weights, num_seeds)
+        else:
+            seed_idx = ops.farthest_point_sample(
+                num_seeds, xyz, valid, impl=model.config.ops_impl
+            )
         gt_points, gt_valid, gt_center, is_fg = gather_seed_instances(
             xyz, batch["inst_label"], seed_idx, gt_size
         )

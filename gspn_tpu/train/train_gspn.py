@@ -116,6 +116,9 @@ def main(argv=None):
 
     ckpt = CheckpointManager(f"{args.log_dir}/ckpt")
     logger = MetricsLogger(args.log_dir)
+    from gspn_tpu.train.config_io import save_config
+
+    save_config(f"{args.log_dir}/config.json", model=cfg, args=args)
 
     @jax.jit
     def prep(batch, rng):

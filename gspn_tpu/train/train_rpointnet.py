@@ -103,7 +103,8 @@ def main(argv=None):
             args.num_seeds, first["xyz"], first["valid"], impl=gcfg.ops_impl
         )
         gp, gv, _, _ = gather_seed_instances(
-            first["xyz"], first["inst_label"], sidx, 256
+            first["xyz"], first["inst_label"], sidx,
+            min(256, args.num_points),
         )
         gvars = gmodel.init(
             key, first["xyz"], sidx, valid=first["valid"], gt_points=gp,
@@ -145,6 +146,9 @@ def main(argv=None):
 
     ckpt = CheckpointManager(f"{args.log_dir}/ckpt")
     logger = MetricsLogger(args.log_dir)
+    from gspn_tpu.train.config_io import save_config
+
+    save_config(f"{args.log_dir}/config.json", model=cfg, args=args)
 
     for i in range(args.steps):
         batch = {k: jnp.asarray(v) for k, v in next(batches).items()}

@@ -1,0 +1,137 @@
+"""Data layer: PLY parsing, ScanNet preprocessing + crops (native and
+fallback paths), deterministic iterator, augmentation invariants."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gspn_tpu.data import native, synthetic
+from gspn_tpu.data.augment import augment_scene
+from gspn_tpu.data.iterator import DeterministicBatches
+from gspn_tpu.data.ply import read_ply_vertices
+
+
+def _write_scannet_scene(tmp_path, rng, n=500):
+    """Fabricate a raw ScanNet-format scan directory."""
+    scan = tmp_path / "scene0000_00"
+    scan.mkdir()
+    xyz = rng.standard_normal((n, 3)).astype(np.float32)
+    rgb = rng.integers(0, 256, (n, 3)).astype(np.uint8)
+    header = (
+        b"ply\nformat binary_little_endian 1.0\n"
+        b"element vertex %d\n" % n
+        + b"property float x\nproperty float y\nproperty float z\n"
+        b"property uchar red\nproperty uchar green\nproperty uchar blue\n"
+        b"end_header\n"
+    )
+    dt = np.dtype(
+        [("x", "<f4"), ("y", "<f4"), ("z", "<f4"),
+         ("red", "u1"), ("green", "u1"), ("blue", "u1")]
+    )
+    arr = np.empty(n, dt)
+    arr["x"], arr["y"], arr["z"] = xyz.T
+    arr["red"], arr["green"], arr["blue"] = rgb.T
+    with open(scan / "scene0000_00_vh_clean_2.ply", "wb") as f:
+        f.write(header)
+        f.write(arr.tobytes())
+    # segments: 50 segments of 10 points
+    seg = np.repeat(np.arange(n // 10), 10)
+    with open(scan / "scene0000_00_vh_clean_2.0.010000.segs.json", "w") as f:
+        json.dump({"segIndices": seg.tolist()}, f)
+    # two instances: a chair (segments 0-4) and a table (segments 5-9)
+    agg = {
+        "segGroups": [
+            {"label": "chair", "segments": list(range(0, 5))},
+            {"label": "table", "segments": list(range(5, 10))},
+            {"label": "wall", "segments": list(range(10, 15))},  # unmapped
+        ]
+    }
+    with open(scan / "scene0000_00.aggregation.json", "w") as f:
+        json.dump(agg, f)
+    return scan, xyz, rgb, seg
+
+
+def test_ply_and_preprocess_roundtrip(tmp_path, rng):
+    from gspn_tpu.data.scannet import preprocess_scene, preprocess_to_npz
+
+    scan, xyz, rgb, seg = _write_scannet_scene(tmp_path, rng)
+    mesh = read_ply_vertices(str(scan / "scene0000_00_vh_clean_2.ply"))
+    np.testing.assert_allclose(mesh["x"], xyz[:, 0], rtol=1e-6)
+    np.testing.assert_array_equal(mesh["red"], rgb[:, 0])
+
+    arrays = preprocess_scene(scan)
+    assert arrays["xyz"].shape == xyz.shape
+    # chair points: segments 0..4 -> point indices 0..49, benchmark class 3
+    assert np.all(arrays["sem_label"][:50] == 3)
+    assert np.all(arrays["inst_label"][:50] == 1)
+    assert np.all(arrays["sem_label"][50:100] == 5)  # table
+    assert np.all(arrays["inst_label"][50:100] == 2)
+    assert np.all(arrays["inst_label"][100:150] == 0)  # wall unmapped
+    out = preprocess_to_npz(scan, tmp_path / "npz")
+    assert out.exists()
+
+
+def test_scannet_crops_fixed_shapes(tmp_path, rng):
+    from gspn_tpu.data.scannet import ScanNetCrops, preprocess_to_npz
+
+    scan, *_ = _write_scannet_scene(tmp_path, rng)
+    preprocess_to_npz(scan, tmp_path / "npz")
+    ds = ScanNetCrops(str(tmp_path / "npz"), num_points=256)
+    batch = ds.sample_batch(rng, 3)
+    assert batch["xyz"].shape == (3, 256, 3)
+    assert batch["features"].shape == (3, 256, 3)  # rgb
+    assert batch["valid"].shape == (3, 256)
+    assert batch["inst_label"].max() <= 2
+    # instance ids compacted: contiguous from 1
+    ids = np.unique(batch["inst_label"][batch["inst_label"] > 0])
+    assert list(ids) == list(range(1, len(ids) + 1))
+
+
+def test_native_fallback_parity(rng, monkeypatch):
+    """NumPy fallback and native library agree on deterministic pieces."""
+    xyz = rng.standard_normal((400, 3)).astype(np.float32)
+    idx_n = native.block_crop_xy(xyz, 0.1, -0.2, 0.6)
+    monkeypatch.setattr(native, "_lib", lambda: None)
+    idx_f = native.block_crop_xy(xyz, 0.1, -0.2, 0.6)
+    np.testing.assert_array_equal(idx_n, idx_f)
+    inst = rng.integers(0, 7, 400).astype(np.int32)
+    out_f, k_f = native.compact_instance_ids(inst)
+    monkeypatch.undo()
+    out_n, k_n = native.compact_instance_ids(inst)
+    np.testing.assert_array_equal(out_f, out_n)
+    assert k_f == k_n
+
+
+def test_deterministic_iterator(rng):
+    db = DeterministicBatches(
+        lambda r, b: synthetic.scene_batch(r, b, n_points=64, max_instances=2),
+        batch_size=2,
+        seed=5,
+    )
+    a = db.batch_at(7)
+    b = db.batch_at(7)
+    np.testing.assert_array_equal(a["xyz"], b["xyz"])
+    c = db.batch_at(8)
+    assert not np.array_equal(a["xyz"], c["xyz"])
+    # resume: iterating from 7 gives the same stream
+    it = db.iterate(start_step=7)
+    np.testing.assert_array_equal(next(it)["xyz"], a["xyz"])
+
+
+def test_augment_preserves_structure(rng):
+    batch = synthetic.scene_batch(rng, 2, n_points=128, max_instances=3)
+    xyz = jnp.asarray(batch["xyz"])
+    valid = jnp.asarray(batch["valid"])
+    out = augment_scene(jax.random.PRNGKey(0), xyz, valid)
+    # pairwise distances within a rigid-ish transform are preserved up to
+    # scale + jitter: check z-rotation keeps z ranks of points (flip/rot are
+    # xy-only) and padded points stay zero
+    assert np.all(np.asarray(out)[~np.asarray(valid)] == 0)
+    # scale range [0.9, 1.1] + jitter 0.01: norms stay within ~15%
+    r_in = np.linalg.norm(np.asarray(xyz)[np.asarray(valid)], axis=-1)
+    r_out = np.linalg.norm(np.asarray(out)[np.asarray(valid)], axis=-1)
+    mask = r_in > 0.5
+    ratio = r_out[mask] / r_in[mask]
+    assert ratio.min() > 0.8 and ratio.max() < 1.2
