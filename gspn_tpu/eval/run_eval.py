@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--dump-dir", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--preset", choices=["default", "tiny"], default="default")
+    p.add_argument("--box-percentile", type=float, default=0.0,
+                   help=">0: outlier-trimmed proposal box extents")
+    p.add_argument("--score-thresh", type=float, default=0.05)
     return p.parse_args(argv)
 
 
@@ -61,12 +64,16 @@ def main(argv=None):
             gspn=TINY_GSPN,
             rpointnet=tiny_rpointnet(args.num_classes),
             num_seeds=args.num_seeds,
+            box_percentile=args.box_percentile,
+            score_thresh=args.score_thresh,
         )
     else:
         cfg = PipelineConfig(
             gspn=GSPNConfig(),
             rpointnet=RPointNetConfig(num_classes=args.num_classes),
             num_seeds=args.num_seeds,
+            box_percentile=args.box_percentile,
+            score_thresh=args.score_thresh,
         )
     np_rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)

@@ -332,9 +332,19 @@ def optax_sigmoid_bce(logits, labels):
     return -labels * log_p - (1.0 - labels) * log_not_p
 
 
-def proposal_boxes(generated: jax.Array, margin: float = 0.1) -> jax.Array:
+def proposal_boxes(
+    generated: jax.Array, margin: float = 0.1, percentile: float = 0.0
+) -> jax.Array:
     """Axis-aligned RoI boxes from generated-shape extents (+margin),
-    (B, S, G, 3) -> (B, S, 6) — the reference's proposal->box rule."""
-    lo = jnp.min(generated, axis=-2) - margin
-    hi = jnp.max(generated, axis=-2) + margin
+    (B, S, G, 3) -> (B, S, 6) — the reference's proposal->box rule.
+
+    percentile > 0 trims that fraction of outlier points per side before
+    taking extents (robust variant for loosely-trained generators; 0 =
+    exact reference min/max semantics)."""
+    if percentile > 0.0:
+        lo = jnp.quantile(generated, percentile, axis=-2) - margin
+        hi = jnp.quantile(generated, 1.0 - percentile, axis=-2) + margin
+    else:
+        lo = jnp.min(generated, axis=-2) - margin
+        hi = jnp.max(generated, axis=-2) + margin
     return jnp.concatenate([lo, hi], axis=-1)

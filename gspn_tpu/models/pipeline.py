@@ -33,6 +33,7 @@ class PipelineConfig:
     num_seeds: int = 128  # proposals per scene before NMS
     score_thresh: float = 0.05
     mask_thresh: float = 0.5
+    box_percentile: float = 0.0  # >0: outlier-trimmed proposal extents
 
 
 @flax.struct.dataclass
@@ -96,7 +97,9 @@ def make_inference_fn(cfg: PipelineConfig):
             z_rng=rng,
             train=False,
         )
-        boxes = proposal_boxes(gout.generated, cfg.rpointnet.box_margin)
+        boxes = proposal_boxes(
+            gout.generated, cfg.rpointnet.box_margin, cfg.box_percentile
+        )
         obj = jax.nn.sigmoid(gout.objectness)
         keep = ops.nms_3d_batched(boxes, obj, cfg.rpointnet.nms_iou)
 
@@ -129,13 +132,26 @@ def make_inference_fn(cfg: PipelineConfig):
 
 
 def init_pipeline_variables(cfg: PipelineConfig, rng, n: int, feature_dim: int = 0):
-    """Initialize both stages' variables against dummy static-shape inputs."""
+    """Initialize both stages' variables against dummy static-shape inputs.
+
+    GSPN is initialized WITH dummy GT so the recognition-net params exist:
+    the variable tree then matches training checkpoints exactly (inference
+    simply leaves those params unused)."""
     k1, k2, k3 = jax.random.split(rng, 3)
     xyz = jnp.zeros((1, n, 3), jnp.float32)
     feats = jnp.zeros((1, n, feature_dim), jnp.float32) if feature_dim else None
     seed_idx = jnp.zeros((1, cfg.num_seeds), jnp.int32)
+    dummy_gt = jnp.zeros((1, cfg.num_seeds, 8, 3), jnp.float32)
+    dummy_gt_valid = jnp.ones((1, cfg.num_seeds, 8), bool)
     gspn_vars = GSPN(cfg.gspn).init(
-        k1, xyz, seed_idx, features=feats, z_rng=k2, train=False
+        k1,
+        xyz,
+        seed_idx,
+        features=feats,
+        gt_points=dummy_gt,
+        gt_valid=dummy_gt_valid,
+        z_rng=k2,
+        train=False,
     )
     boxes = jnp.tile(
         jnp.asarray([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0]], jnp.float32),

@@ -11,8 +11,14 @@ Boxes are ``(R, 6)``: ``[xmin, ymin, zmin, xmax, ymax, zmax]``.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gspn_tpu.ops.common import resolve_impl, round_up
 
 
 def box_volume(boxes: jax.Array) -> jax.Array:
@@ -30,11 +36,89 @@ def box_iou(a: jax.Array, b: jax.Array) -> jax.Array:
     return inter / jnp.maximum(union, 1e-12)
 
 
+def _nms_suppress_xla(iou, alive, iou_thresh):
+    """Greedy suppression over a score-sorted IoU matrix. iou (R, R),
+    alive (R,) bool -> keep (R,) bool (sorted order)."""
+    r = iou.shape[0]
+    later = jnp.arange(r)[None, :] > jnp.arange(r)[:, None]
+
+    def body(i, carry):
+        alive, keep = carry
+        is_kept = alive[i]
+        keep = keep.at[i].set(is_kept)
+        suppress = jnp.logical_and(iou[i] > iou_thresh, later[i])
+        alive = jnp.logical_and(
+            alive, jnp.logical_not(jnp.logical_and(is_kept, suppress))
+        )
+        return alive, keep
+
+    _, keep = jax.lax.fori_loop(0, r, body, (alive, jnp.zeros((r,), bool)))
+    return keep
+
+
+def _nms_kernel(iou_ref, alive_ref, keep_ref, *, r: int, thresh: float):
+    """Grid (B,). The whole greedy loop runs inside VMEM — the XLA loop
+    version pays per-iteration dispatch for R tiny ops; this doesn't.
+
+    iou:   (1, Rpad, Rpad) score-sorted IoU matrix.
+    alive: (1, 8, Rpad) row 0 = 1.0 for valid candidates (sorted order).
+    keep:  (1, 8, Rpad) i32 out, row 0.
+    """
+    rpad = iou_ref.shape[2]
+    riota = jax.lax.broadcasted_iota(jnp.int32, (1, rpad), 1)
+    # int32 masks throughout: Mosaic rejects boolean-vector loop carries
+    alive0 = jnp.where(
+        jnp.logical_and(alive_ref[0, 0:1, :] > 0.0, riota < r), 1, 0
+    )
+
+    def body(i, carry):
+        alive, keep = carry
+        a_i = jnp.sum(jnp.where(riota == i, alive, 0))  # 0/1 scalar
+        keep = jnp.where(riota == i, a_i, keep)
+        row = iou_ref[0, pl.ds(i, 1), :]  # (1, Rpad)
+        suppress = jnp.where(
+            jnp.logical_and(row > thresh, riota > i), a_i, 0
+        )
+        alive = alive * (1 - suppress)
+        return alive, keep
+
+    _, keep = jax.lax.fori_loop(
+        0, r, body, (alive0, jnp.zeros((1, rpad), jnp.int32))
+    )
+    keep_ref[0, 0:1, :] = keep
+
+
+def _nms_suppress_pallas(iou, alive, iou_thresh, interpret):
+    b, r, _ = iou.shape
+    rpad = round_up(r, 128)
+    ioup = jnp.zeros((b, rpad, rpad), jnp.float32)
+    ioup = ioup.at[:, :r, :r].set(iou.astype(jnp.float32))
+    alivep = jnp.zeros((b, 8, rpad), jnp.float32)
+    alivep = alivep.at[:, 0, :r].set(alive.astype(jnp.float32))
+    keep = pl.pallas_call(
+        functools.partial(_nms_kernel, r=r, thresh=float(iou_thresh)),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, rpad, rpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, rpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 8, rpad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, 8, rpad), jnp.int32),
+        interpret=interpret,
+    )(ioup, alivep)
+    return keep[:, 0, :r] > 0
+
+
 def nms_3d(
     boxes: jax.Array,
     scores: jax.Array,
     iou_thresh: float,
     valid: jax.Array | None = None,
+    *,
+    impl: str = "auto",
+    interpret: bool | None = None,
 ):
     """Greedy score-descending NMS over axis-aligned 3D boxes.
 
@@ -47,34 +131,48 @@ def nms_3d(
     Returns:
       ``keep (R,) bool`` in the ORIGINAL box order.
     """
-    r = boxes.shape[0]
+    keep = nms_3d_batched(
+        boxes[None], scores[None],
+        iou_thresh,
+        None if valid is None else valid[None],
+        impl=impl,
+        interpret=interpret,
+    )
+    return keep[0]
+
+
+def nms_3d_batched(
+    boxes,
+    scores,
+    iou_thresh,
+    valid=None,
+    *,
+    impl: str = "auto",
+    interpret: bool | None = None,
+):
+    """Batched greedy NMS: (B, R, 6), (B, R) -> keep (B, R) bool in the
+    ORIGINAL box order."""
+    b, r = scores.shape
     neg = jnp.full_like(scores, -jnp.inf)
     s = scores if valid is None else jnp.where(valid, scores, neg)
-    order = jnp.argsort(-s)  # stable: ties keep input order
-    bs = boxes[order]
-    alive = jnp.ones((r,), bool) if valid is None else valid[order]
-    iou = box_iou(bs, bs)  # (R, R), computed once
-    later = jnp.arange(r)[None, :] > jnp.arange(r)[:, None]
-
-    def body(i, carry):
-        alive, keep = carry
-        is_kept = alive[i]
-        keep = keep.at[i].set(is_kept)
-        suppress = jnp.logical_and(iou[i] > iou_thresh, later[i])
-        alive = jnp.logical_and(alive, jnp.logical_not(jnp.logical_and(is_kept, suppress)))
-        return alive, keep
-
-    _, keep_sorted = jax.lax.fori_loop(
-        0, r, body, (alive, jnp.zeros((r,), bool))
+    order = jnp.argsort(-s, axis=-1)  # stable: ties keep input order
+    bs = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    alive = (
+        jnp.ones((b, r), bool)
+        if valid is None
+        else jnp.take_along_axis(valid, order, axis=1)
     )
-    keep = jnp.zeros((r,), bool).at[order].set(keep_sorted)
+    iou = box_iou(bs, bs)  # (B, R, R), computed once
+
+    choice = resolve_impl(impl)
+    if choice == "pallas":
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        keep_sorted = _nms_suppress_pallas(iou, alive, iou_thresh, interpret)
+    else:
+        keep_sorted = jax.vmap(
+            lambda m, a: _nms_suppress_xla(m, a, iou_thresh)
+        )(iou, alive)
+    keep = jnp.zeros((b, r), bool)
+    keep = jax.vmap(lambda k, o, ks: k.at[o].set(ks))(keep, order, keep_sorted)
     return keep
-
-
-def nms_3d_batched(boxes, scores, iou_thresh, valid=None):
-    """vmap of :func:`nms_3d` over a leading batch dim."""
-    if valid is None:
-        return jax.vmap(lambda b, s: nms_3d(b, s, iou_thresh))(boxes, scores)
-    return jax.vmap(lambda b, s, v: nms_3d(b, s, iou_thresh, v))(
-        boxes, scores, valid
-    )

@@ -120,11 +120,16 @@ def make_rpointnet_loss_fn(
     frozen_gspn: tuple | None = None,  # (GSPN model, variables, num_seeds)
     loss_weights: dict | None = None,
     gt_box_jitter: float = 0.05,
+    mix_gt_boxes: bool = True,
 ):
     """Stage-2 loss. If ``frozen_gspn`` is given, proposal boxes come from
     the frozen stage-1 network inside the same program (reference stage-2
     training, SURVEY.md §3.2); otherwise GT boxes jittered with noise from
-    ``rng`` stand in (useful for isolated head training and tests)."""
+    ``rng`` stand in (useful for isolated head training and tests).
+
+    mix_gt_boxes (with frozen_gspn): append jittered GT boxes to the
+    proposal set so the heads always see positives even while stage-1
+    proposals are coarse — the standard two-stage-detector trick."""
     lw = loss_weights or {}
     cfg = model.config
 
@@ -133,6 +138,12 @@ def make_rpointnet_loss_fn(
         gt_boxes, gt_cls, present = instance_gt_boxes(
             xyz, batch["inst_label"], batch["sem_label"], max_instances
         )
+        jitter_rng, rng = jax.random.split(rng)
+        noise = (
+            jax.random.normal(jitter_rng, gt_boxes.shape, jnp.float32)
+            * gt_box_jitter
+        )
+        gt_rois = jnp.where(present[..., None], gt_boxes + noise, 0.0)
         if frozen_gspn is not None:
             gmodel, gvars, num_seeds = frozen_gspn
             seed_idx = ops.farthest_point_sample(
@@ -150,12 +161,10 @@ def make_rpointnet_loss_fn(
             rois = jax.lax.stop_gradient(
                 proposal_boxes(gout.generated, cfg.box_margin)
             )
+            if mix_gt_boxes:
+                rois = jnp.concatenate([rois, gt_rois], axis=1)
         else:
-            noise = (
-                jax.random.normal(rng, gt_boxes.shape, jnp.float32)
-                * gt_box_jitter
-            )
-            rois = jnp.where(present[..., None], gt_boxes + noise, 0.0)
+            rois = gt_rois
 
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},

@@ -42,6 +42,12 @@ def parse_args(argv=None):
     p.add_argument("--synthetic", action="store_true", default=True)
     p.add_argument("--scannet-dir", type=str, default=None,
                    help="preprocessed ScanNet crops dir (overrides synthetic)")
+    p.add_argument("--shapenet-dir", type=str, default=None,
+                   help="ShapeNet h5 dir: single-object CVAE pretrain "
+                        "(BASELINE config 1)")
+    p.add_argument("--shapenet-category", type=int, default=None)
+    p.add_argument("--partnet-dir", type=str, default=None,
+                   help="PartNet ins_seg h5 dir (BASELINE config 5)")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--preset", choices=["default", "tiny"], default="default",
                    help="tiny = small config for smoke tests / CPU")
@@ -63,10 +69,24 @@ TINY_GSPN = GSPNConfig(
 
 
 def data_iterator(args, np_rng):
-    if args.scannet_dir:
+    ds = None
+    if getattr(args, "scannet_dir", None):
         from gspn_tpu.data.scannet import ScanNetCrops
 
         ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points)
+    elif getattr(args, "shapenet_dir", None):
+        from gspn_tpu.data.shapenet import ShapeNetObjects
+
+        ds = ShapeNetObjects(
+            args.shapenet_dir,
+            num_points=args.num_points,
+            category=getattr(args, "shapenet_category", None),
+        )
+    elif getattr(args, "partnet_dir", None):
+        from gspn_tpu.data.partnet import PartNetParts
+
+        ds = PartNetParts(args.partnet_dir, num_points=args.num_points)
+    if ds is not None:
         while True:
             yield ds.sample_batch(np_rng, args.batch)
     else:

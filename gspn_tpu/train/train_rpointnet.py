@@ -51,6 +51,9 @@ def parse_args(argv=None):
     p.add_argument("--dp", action="store_true")
     p.add_argument("--synthetic", action="store_true", default=True)
     p.add_argument("--scannet-dir", type=str, default=None)
+    p.add_argument("--partnet-dir", type=str, default=None)
+    p.add_argument("--no-mix-gt-boxes", action="store_true",
+                   help="disable GT-box mixing into stage-2 RoIs")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--preset", choices=["default", "tiny"], default="default")
     return p.parse_args(argv)
@@ -138,7 +141,10 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"R-PointNet: {n_params / 1e6:.2f}M params")
 
-    loss_fn = make_rpointnet_loss_fn(model, args.max_instances, frozen)
+    loss_fn = make_rpointnet_loss_fn(
+        model, args.max_instances, frozen,
+        mix_gt_boxes=not args.no_mix_gt_boxes,
+    )
     if args.dp:
         step_fn = make_dp_train_step(loss_fn, tx, make_mesh())
     else:

@@ -103,6 +103,24 @@ def main():
     print(f"SA module (N={n}->1024, K=32, mlp 64-64-128): {dt*1e3:.2f} ms/iter, "
           f"{b*n/dt/1e6:.1f} Mpts/s")
 
+    # --- perf-path kernels on chip: three_nn, mask projection, NMS
+    d_p, i_p3 = ops.three_nn(xyz, nx, impl="pallas", interpret=False)
+    d_x, i_x3 = ops.three_nn(xyz, nx, impl="xla")
+    assert bool(jnp.all(i_p3 == i_x3)), "three_nn pallas != xla"
+    print("three_nn pallas==xla: True")
+    sampled = xyz[:, None, :16, :].repeat(8, 1)
+    logits = jnp.ones((b, 8, 16))
+    mp = ops.nearest_sample_logit(xyz, sampled, logits, impl="pallas", interpret=False)
+    mx = ops.nearest_sample_logit(xyz, sampled, logits, impl="xla")
+    assert bool(jnp.all(jnp.abs(mp - mx) < 1e-6)), "mask projection mismatch"
+    print("mask projection pallas==xla: True")
+    bx = jnp.concatenate([nx - 0.1, nx + 0.1], -1)
+    sc = jnp.linalg.norm(nx, axis=-1)
+    kp = ops.nms_3d_batched(bx, sc, 0.3, impl="pallas", interpret=False)
+    kx = ops.nms_3d_batched(bx, sc, 0.3, impl="xla")
+    assert bool(jnp.all(kp == kx)), "nms mismatch"
+    print("nms pallas==xla: True")
+
     fp = gnn.PointNetFPModule(mlp=(128, 128))
     fp_vars = fp.init(key, xyz[:1], nx[:1], None, feat[:1], train=False)
 

@@ -205,7 +205,8 @@ def test_prob_sample_distribution():
     assert 0.85 < frac2 < 0.95
 
 
-def test_nms(rng):
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_nms(rng, impl):
     r = 40
     centers = rng.random((r, 3)).astype(np.float32) * 2
     ext = 0.3 + rng.random((r, 3)).astype(np.float32) * 0.5
@@ -214,7 +215,8 @@ def test_nms(rng):
     valid = rng.random(r) > 0.2
     for v in (None, valid):
         got = np.asarray(ops.nms_3d(jnp.asarray(boxes), jnp.asarray(scores), 0.3,
-                                    None if v is None else jnp.asarray(v)))
+                                    None if v is None else jnp.asarray(v),
+                                    impl=impl))
         want = oracles.nms_oracle(boxes, scores, 0.3, v)
         np.testing.assert_array_equal(got, want)
 
