@@ -106,7 +106,12 @@ def _ball_query_kernel(
         return pos, acc
 
     acc0 = jnp.zeros((tm, kpad), jnp.int32)
-    _, acc = jax.lax.fori_loop(0, nsample, body, (pos0, acc0))
+    # only extract as many slots as this tile's fullest ball actually has —
+    # slots at k >= cnt are replicate-first padding, applied by _finalize
+    # outside the kernel, so the (usually much shorter) dynamic bound is
+    # exact, not an approximation
+    kmax = jnp.max(cnt)
+    _, acc = jax.lax.fori_loop(0, kmax, body, (pos0, acc0))
     idx_ref[0, :, :] = acc
 
 
