@@ -140,3 +140,17 @@ def object_batch(rng, batch: int, n: int, kind: str | None = None):
         pts.append(p)
         kinds.append(_KINDS.index(k))
     return np.stack(pts), np.asarray(kinds, np.int32)
+
+
+def object_scene_batch(rng, batch: int, n_points: int, kind: str | None = None):
+    """Single objects in the standard scene layout (whole object = one
+    instance) — the BASELINE config-1 workload (single-object CVAE
+    reconstruction) without needing ShapeNet h5 files on disk."""
+    pts, kinds = object_batch(rng, batch, n_points, kind)
+    return {
+        "xyz": pts.astype(np.float32),
+        "features": np.zeros((batch, n_points, 0), np.float32),
+        "valid": np.ones((batch, n_points), bool),
+        "sem_label": np.tile((kinds + 1)[:, None], (1, n_points)).astype(np.int32),
+        "inst_label": np.ones((batch, n_points), np.int32),
+    }

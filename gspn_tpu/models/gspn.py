@@ -132,7 +132,9 @@ class GSPN(nn.Module):
         valid=None,  # (B, N) scene padding mask
         gt_points=None,  # (B, S, G, 3) GT instance points per seed (train)
         gt_valid=None,  # (B, S, G) mask
-        z_rng=None,  # PRNG key for sampling z (required)
+        z_rng=None,  # PRNG key for sampling z
+        z_eps=None,  # (B, S, latent) pre-drawn N(0,1) noise (overrides z_rng;
+        #              lets sharded and unsharded runs use identical noise)
         train: bool = False,
     ) -> GSPNOutputs:
         cfg = self.config
@@ -198,11 +200,14 @@ class GSPN(nn.Module):
                 name="recognition",
             )(jnp.concatenate([gt_feat, cond], axis=-1), train)
 
-        if z_rng is None:
-            raise ValueError("z_rng is required (pass jax.random.key)")
-        eps = jax.random.normal(
-            z_rng, prior_mu.shape[:-1] + (cfg.latent_dim,), jnp.float32
-        )
+        if z_eps is not None:
+            eps = z_eps.astype(jnp.float32)
+        elif z_rng is not None:
+            eps = jax.random.normal(
+                z_rng, prior_mu.shape[:-1] + (cfg.latent_dim,), jnp.float32
+            )
+        else:
+            raise ValueError("pass z_rng (PRNG key) or z_eps (noise)")
         if q_mu is not None:  # training: reparameterized sample from q
             z = q_mu + eps * jnp.exp(0.5 * q_logvar)
         else:  # inference: sample from the learned prior

@@ -48,9 +48,15 @@ def parse_args(argv=None):
     p.add_argument("--shapenet-category", type=int, default=None)
     p.add_argument("--partnet-dir", type=str, default=None,
                    help="PartNet ins_seg h5 dir (BASELINE config 5)")
+    p.add_argument("--synthetic-objects", action="store_true",
+                   help="single-object CVAE workload (BASELINE config 1) "
+                        "from the parametric shape generator")
     p.add_argument("--no-augment", action="store_true")
-    p.add_argument("--preset", choices=["default", "tiny"], default="default",
-                   help="tiny = small config for smoke tests / CPU")
+    p.add_argument("--preset", choices=["default", "tiny", "object"],
+                   default="default",
+                   help="tiny = small config for smoke tests / CPU; "
+                        "object = single-object CVAE (one whole-object "
+                        "context per centroid seed, BASELINE config 1)")
     return p.parse_args(argv)
 
 
@@ -89,6 +95,11 @@ def data_iterator(args, np_rng):
     if ds is not None:
         while True:
             yield ds.sample_batch(np_rng, args.batch)
+    elif getattr(args, "synthetic_objects", False):
+        while True:
+            yield synthetic.object_scene_batch(
+                np_rng, args.batch, n_points=args.num_points
+            )
     else:
         while True:
             yield synthetic.scene_batch(
@@ -98,7 +109,14 @@ def data_iterator(args, np_rng):
 
 def main(argv=None):
     args = parse_args(argv)
-    cfg = TINY_GSPN if args.preset == "tiny" else GSPNConfig()
+    if args.preset == "tiny":
+        cfg = TINY_GSPN
+    elif args.preset == "object":
+        from gspn_tpu.models.gspn import shapenet_config
+
+        cfg = shapenet_config(args.num_points, num_gen_points=512)
+    else:
+        cfg = GSPNConfig()
     model = GSPN(cfg)
     tx = optax.adam(args.lr)
     key = jax.random.PRNGKey(args.seed)

@@ -1,0 +1,69 @@
+"""Spatially-sharded (per-seed/per-RoI) inference must be bit-identical to
+the single-device pipeline given the same latent noise."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gspn_tpu.data import synthetic
+from gspn_tpu.models.pipeline import init_pipeline_variables, make_inference_fn
+from gspn_tpu.parallel.mesh import make_mesh
+from gspn_tpu.parallel.spatial import make_spatial_inference
+from tests.test_pipeline_eval import TINY
+
+
+def test_spatial_inference_matches_single_device(rng):
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, num_seeds=16)  # divisible by 8 shards
+    b, n = 2, 192
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic.scene_batch(
+            rng, b, n_points=n, max_instances=3, extent=2.0
+        ).items()
+    }
+    variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), n)
+    z_eps = jax.random.normal(
+        jax.random.PRNGKey(5), (b, cfg.num_seeds, cfg.gspn.latent_dim)
+    )
+
+    # single-device reference: same pipeline with the same pre-drawn noise
+    from gspn_tpu import ops
+    from gspn_tpu.models.gspn import GSPN, proposal_boxes
+    from gspn_tpu.models.pipeline import project_roi_masks
+    from gspn_tpu.models.rpointnet import RPointNet, apply_box_deltas
+
+    def single(variables, xyz, valid):
+        seed_idx = ops.farthest_point_sample(cfg.num_seeds, xyz, valid, impl="xla")
+        gout = GSPN(cfg.gspn).apply(
+            variables["gspn"], xyz, seed_idx, valid=valid, z_eps=z_eps, train=False
+        )
+        boxes = proposal_boxes(gout.generated, cfg.rpointnet.box_margin, cfg.box_percentile)
+        obj = jax.nn.sigmoid(gout.objectness)
+        keep = ops.nms_3d_batched(boxes, obj, cfg.rpointnet.nms_iou)
+        out = RPointNet(cfg.rpointnet).apply(
+            variables["rpointnet"], xyz, boxes, valid=valid, train=False
+        )
+        cls_prob = jax.nn.softmax(out.cls_logits, axis=-1)[..., 1:]
+        cls = (jnp.argmax(cls_prob, axis=-1) + 1).astype(jnp.int32)
+        score = obj * jnp.max(cls_prob, axis=-1)
+        refined = apply_box_deltas(boxes, out.box_deltas)
+        pvalid = (keep & out.roi_valid) & (score > cfg.score_thresh)
+        masks = project_roi_masks(
+            xyz, refined, out.roi_idx, out.mask_logits, cfg.mask_thresh, valid
+        )
+        return masks & pvalid[..., None], jnp.where(pvalid, score, 0.0), cls, pvalid
+
+    m1, s1, c1, v1 = jax.jit(single)(variables, batch["xyz"], batch["valid"])
+
+    mesh = make_mesh(8, axis="space")
+    infer = make_spatial_inference(cfg, mesh, axis="space")
+    preds = infer(variables, batch["xyz"], None, batch["valid"], z_eps)
+
+    np.testing.assert_array_equal(np.asarray(preds.valid), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(preds.classes), np.asarray(c1))
+    np.testing.assert_allclose(
+        np.asarray(preds.scores), np.asarray(s1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(preds.masks), np.asarray(m1))
