@@ -124,8 +124,12 @@ def main(argv=None):
             }
             print(f"restored {name} from {ckpt}")
 
+    import time as _time
+
     infer = jax.jit(make_inference_fn(cfg))
     all_preds, all_gts = [], []
+    infer_s = 0.0
+    infer_pts = 0
     dump_dir = pathlib.Path(args.dump_dir) if args.dump_dir else None
     if dump_dir:
         dump_dir.mkdir(parents=True, exist_ok=True)
@@ -134,8 +138,12 @@ def main(argv=None):
     for batch in batches():
         jb = {k: jnp.asarray(v) for k, v in batch.items()}
         feats = jb["features"] if jb["features"].shape[-1] else None
+        t0 = _time.perf_counter()
         preds = infer(variables, jb["xyz"], feats, jb["valid"], key)
-        scenes = ie.predictions_from_device(preds, jb["valid"])
+        scenes = ie.predictions_from_device(preds, jb["valid"])  # syncs
+        if scene_i > 0:  # first batch pays compile; keep it out of the rate
+            infer_s += _time.perf_counter() - t0
+            infer_pts += int(jb["valid"].size)
         for bi, sp in enumerate(scenes):
             v = batch["valid"][bi]
             gt = ie.gt_from_labels(
@@ -161,6 +169,7 @@ def main(argv=None):
         "ap": res["ap"],
         "ap_50": res["ap_50"],
         "ap_25": res["ap_25"],
+        "points_per_sec": round(infer_pts / max(infer_s, 1e-9), 1),
     }
     print(json.dumps(summary))
     return res

@@ -68,12 +68,16 @@ class RPointNetConfig:
     box_fc: tuple[int, ...] = (256, 128)
     mask_mlp: tuple[int, ...] = (128, 128)
     num_classes: int = 18  # semantic classes (ScanNet benchmark = 18)
+    head_dropout: float = 0.0  # dropout in cls/box FC heads (reference:
+    #                            tf_util.dropout; needs a 'dropout' rng)
     # matching / NMS
     fg_iou: float = 0.5
     bg_iou: float = 0.25
     nms_iou: float = 0.25
     box_margin: float = 0.1
     use_bn: bool = True
+    remat: bool = False  # rematerialize SA/FP activations (trade FLOPs for
+    #                      HBM — lets much larger scenes fit in training)
     ops_impl: str = "auto"
     dtype: Any = jnp.float32
 
@@ -86,9 +90,20 @@ class Backbone(nn.Module):
     @nn.compact
     def __call__(self, xyz, features=None, valid=None, train: bool = False):
         cfg = self.config
+        # static_argnums index includes self (0); `train` is positional
+        SA = (
+            nn.remat(PointNetSAModule, static_argnums=(4,))
+            if cfg.remat
+            else PointNetSAModule
+        )
+        FP = (
+            nn.remat(PointNetFPModule, static_argnums=(7,))
+            if cfg.remat
+            else PointNetFPModule
+        )
         xs, fs, vs = [xyz], [features], [valid]
         for i, spec in enumerate(cfg.sa_layers):
-            nx, nf, nv = PointNetSAModule(
+            nx, nf, nv = SA(
                 npoint=spec.npoint,
                 radius=spec.radius,
                 nsample=spec.nsample,
@@ -97,14 +112,14 @@ class Backbone(nn.Module):
                 ops_impl=cfg.ops_impl,
                 dtype=cfg.dtype,
                 name=f"sa{i + 1}",
-            )(xs[-1], fs[-1], vs[-1], train=train)
+            )(xs[-1], fs[-1], vs[-1], train)
             xs.append(nx)
             fs.append(nf)
             vs.append(nv)
         feat = fs[-1]
         for i, mlp in enumerate(cfg.fp_mlps):
             lvl = len(cfg.sa_layers) - 1 - i  # target level
-            feat = PointNetFPModule(
+            feat = FP(
                 mlp, use_bn=cfg.use_bn, dtype=cfg.dtype, name=f"fp{i + 1}"
             )(
                 xs[lvl],
@@ -113,7 +128,7 @@ class Backbone(nn.Module):
                 feat,
                 vs[lvl],
                 vs[lvl + 1],
-                train=train,
+                train,
             )
         return feat  # (B, N, fp_mlps[-1][-1])
 
@@ -195,10 +210,12 @@ class RoIHeads(nn.Module):
         )(x, train=train)  # (B, R, S, C')
         pooled = jnp.max(pt, axis=-2)  # (B, R, C')
         cls_logits = FCLayers(
-            cfg.cls_fc, cfg.num_classes + 1, dtype=cfg.dtype, name="cls"
+            cfg.cls_fc, cfg.num_classes + 1, dropout=cfg.head_dropout,
+            dtype=cfg.dtype, name="cls",
         )(pooled, train)
         box_deltas = FCLayers(
-            cfg.box_fc, 6, dtype=cfg.dtype, name="box"
+            cfg.box_fc, 6, dropout=cfg.head_dropout, dtype=cfg.dtype,
+            name="box",
         )(pooled, train)
         per_pt = jnp.concatenate(
             [pt, jnp.broadcast_to(pooled[..., None, :], pt.shape[:-1] + (pooled.shape[-1],))],

@@ -138,7 +138,7 @@ def make_rpointnet_loss_fn(
         gt_boxes, gt_cls, present = instance_gt_boxes(
             xyz, batch["inst_label"], batch["sem_label"], max_instances
         )
-        jitter_rng, rng = jax.random.split(rng)
+        jitter_rng, drop_rng, rng = jax.random.split(rng, 3)
         noise = (
             jax.random.normal(jitter_rng, gt_boxes.shape, jnp.float32)
             * gt_box_jitter
@@ -174,6 +174,7 @@ def make_rpointnet_loss_fn(
             valid=valid,
             train=True,
             mutable=["batch_stats"],
+            rngs={"dropout": drop_rng} if cfg.head_dropout > 0 else {},
         )
         roi_valid = (
             jnp.logical_and(out.roi_valid, present)
