@@ -141,17 +141,18 @@ class GSPN(nn.Module):
         nscales = len(cfg.context_radii)
         seed_xyz = ops.gather_point(xyz, seed_idx)  # (B, S, 3)
 
-        # ---- (a) multi-scale context crops in the seed frame
+        # ---- (a) multi-scale context crops in the seed frame; concentric
+        # radii share one pairwise-distance pass (query_ball_point_multi)
+        per_scale = ops.query_ball_point_multi(
+            cfg.context_radii,
+            cfg.context_nsample,
+            xyz,
+            seed_xyz,
+            valid,
+            impl=cfg.ops_impl,
+        )
         crops = []  # per scale: (B, S, K_s, 3 [+F])
-        for s in range(nscales):
-            idx, cnt = ops.query_ball_point(
-                cfg.context_radii[s],
-                cfg.context_nsample[s],
-                xyz,
-                seed_xyz,
-                valid,
-                impl=cfg.ops_impl,
-            )
+        for idx, cnt in per_scale:
             local = ops.group_point(xyz, idx) - seed_xyz[:, :, None, :]
             if features is not None and cfg.feature_dim > 0:
                 local = jnp.concatenate(

@@ -5,7 +5,7 @@ Every op is jittable, static-shaped, batch-first, and takes optional
 validity masks so padded points flow through the whole pipeline.
 """
 
-from gspn_tpu.ops.ball_query import query_ball_point
+from gspn_tpu.ops.ball_query import query_ball_point, query_ball_point_multi
 from gspn_tpu.ops.chamfer import chamfer_loss, nn_distance
 from gspn_tpu.ops.common import pairwise_sqdist
 from gspn_tpu.ops.fps import farthest_point_sample
@@ -34,6 +34,7 @@ __all__ = [
     "pairwise_sqdist",
     "prob_sample",
     "query_ball_point",
+    "query_ball_point_multi",
     "random_prob_sample",
     "three_interpolate",
     "three_interpolate_weights",

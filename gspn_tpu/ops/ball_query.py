@@ -165,6 +165,137 @@ def _ball_query_pallas(radius, nsample, xyz1, xyz2, valid1, interpret):
 
 
 # ---------------------------------------------------------------------------
+# Multi-radius variant (concentric scales share one distance computation)
+# ---------------------------------------------------------------------------
+
+
+def _ball_query_multi_kernel(
+    xyz1_ref, xyz2_ref, valid_ref, *out_refs, nsamples, r2s, n
+):
+    """Like _ball_query_kernel but extracts every radius's neighborhood
+    from ONE (TM, Npad) distance tile — GSPN's concentric context crops
+    (SURVEY.md §3.1) pay for the pairwise distances once instead of once
+    per scale. Outputs alternate (idx_s, cnt_s) per scale."""
+    npad = xyz1_ref.shape[2]
+    tm = xyz2_ref.shape[1]
+    x1 = xyz1_ref[0, 0:1, :]
+    y1 = xyz1_ref[0, 1:2, :]
+    z1 = xyz1_ref[0, 2:3, :]
+    qx = xyz2_ref[0, :, 0:1]
+    qy = xyz2_ref[0, :, 1:2]
+    qz = xyz2_ref[0, :, 2:3]
+    dx = qx - x1
+    dy = qy - y1
+    dz = qz - z1
+    d2 = dx * dx + dy * dy + dz * dz  # (TM, Npad) — shared across scales
+    vmask = valid_ref[0, 0:1, :] > 0.0
+    iota = jax.lax.broadcasted_iota(jnp.int32, (tm, npad), 1)
+
+    for s, (nsample, r2) in enumerate(zip(nsamples, r2s, strict=True)):
+        idx_ref, cnt_ref = out_refs[2 * s], out_refs[2 * s + 1]
+        kpad = idx_ref.shape[2]
+        kiota = jax.lax.broadcasted_iota(jnp.int32, (tm, kpad), 1)
+        hit = jnp.logical_and(d2 < r2, vmask)
+        pos0 = jnp.where(hit, iota, n)
+        cnt = jnp.minimum(
+            jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True), nsample
+        )
+        cnt_ref[0, :, 0:1] = cnt
+
+        def body(k, carry):
+            pos, acc = carry
+            m = jnp.min(pos, axis=1, keepdims=True)
+            mval = jnp.where(m >= n, 0, m)
+            acc = jnp.where(kiota == k, mval, acc)
+            pos = jnp.where(pos == m, n, pos)
+            return pos, acc
+
+        acc0 = jnp.zeros((tm, kpad), jnp.int32)
+        _, acc = jax.lax.fori_loop(0, jnp.max(cnt), body, (pos0, acc0))
+        idx_ref[0, :, :] = acc
+
+
+def query_ball_point_multi(
+    radii,
+    nsamples,
+    xyz1,
+    xyz2,
+    valid1=None,
+    *,
+    impl: str = "auto",
+    interpret: bool | None = None,
+):
+    """Concentric multi-radius ball query: one pairwise-distance pass,
+    one (idx, cnt) pair per scale. Semantics of each scale are identical
+    to :func:`query_ball_point`.
+
+    Returns a list of (idx (B,M,K_s) i32, cnt (B,M) i32) per scale.
+    """
+    choice = resolve_impl(impl)
+    if choice != "pallas":
+        return [
+            _ball_query_xla(r, k, xyz1, xyz2, valid1)
+            for r, k in zip(radii, nsamples, strict=True)
+        ]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    npad = round_up(n, 128)
+    tm = min(128, round_up(m, 8))
+    mpad = round_up(m, tm)
+
+    x1t = jnp.zeros((b, 8, npad), jnp.float32)
+    x1t = x1t.at[:, 0:3, :n].set(jnp.swapaxes(xyz1.astype(jnp.float32), 1, 2))
+    vrow = jnp.zeros((b, 8, npad), jnp.float32)
+    if valid1 is None:
+        vrow = vrow.at[:, 0, :n].set(1.0)
+    else:
+        vrow = vrow.at[:, 0, :n].set(valid1.astype(jnp.float32))
+    q = jnp.full((b, mpad, 128), 1e9, jnp.float32)
+    q = q.at[:, :m, 0:3].set(xyz2.astype(jnp.float32))
+
+    kpads = [round_up(k, 128) for k in nsamples]
+    out_specs = []
+    out_shapes = []
+    for kpad in kpads:
+        out_specs += [
+            pl.BlockSpec((1, tm, kpad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct((b, mpad, kpad), jnp.int32),
+            jax.ShapeDtypeStruct((b, mpad, 128), jnp.int32),
+        ]
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _ball_query_multi_kernel,
+            nsamples=tuple(nsamples),
+            r2s=tuple(float(r) ** 2 for r in radii),
+            n=n,
+        ),
+        grid=(b, mpad // tm),
+        in_specs=[
+            pl.BlockSpec((1, 8, npad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, npad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(x1t, q, vrow)
+
+    results = []
+    for s, (k, kpad) in enumerate(zip(nsamples, kpads, strict=True)):
+        idx_asc = outs[2 * s][:, :m, :k]
+        cnt = outs[2 * s + 1][:, :m, 0]
+        results.append(_finalize(idx_asc, cnt, k))
+    return results
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 

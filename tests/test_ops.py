@@ -50,6 +50,24 @@ def test_ball_query(rng, impl, masked):
     np.testing.assert_array_equal(np.asarray(idx), widx)
 
 
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_ball_query_multi(rng, impl, masked):
+    b, n, m = 2, 160, 24
+    radii, ks = (0.4, 0.8, 1.2), (4, 8, 16)
+    xyz1 = cloud(rng, b, n)
+    xyz2 = xyz1[:, :m]
+    v = mask(rng, b, n) if masked else None
+    results = ops.query_ball_point_multi(
+        radii, ks, jnp.asarray(xyz1), jnp.asarray(xyz2),
+        None if v is None else jnp.asarray(v), impl=impl,
+    )
+    for (idx, cnt), r, k in zip(results, radii, ks, strict=True):
+        widx, wcnt = oracles.ball_query_oracle(r, k, xyz1, xyz2, v)
+        np.testing.assert_array_equal(np.asarray(cnt), wcnt)
+        np.testing.assert_array_equal(np.asarray(idx), widx)
+
+
 def test_ball_query_empty_row(rng):
     # a query center far from everything -> zeros + count 0
     xyz1 = cloud(rng, 1, 50)
