@@ -378,8 +378,11 @@ def rpointnet_loss(
     box_term = jnp.sum(box_err * fg) / nfg
 
     # mask targets: sampled point's instance == matched instance (id = i+1)
+    r = out.roi_idx.shape[1]
     pt_inst = jnp.take_along_axis(
-        inst_label[:, None, :].repeat(out.roi_idx.shape[1], axis=1),
+        jnp.broadcast_to(
+            inst_label[:, None, :], (inst_label.shape[0], r, inst_label.shape[1])
+        ),
         out.roi_idx,
         axis=-1,
     )  # (B, R, S)

@@ -65,107 +65,9 @@ def _ball_query_xla(radius, nsample, xyz1, xyz2, valid1):
 # ---------------------------------------------------------------------------
 
 
-def _ball_query_kernel(
-    xyz1_ref, xyz2_ref, valid_ref, idx_ref, cnt_ref, *, nsample: int, r2: float, n: int
-):
-    """Grid (B, M // TM). Queries on sublanes, dataset points on lanes.
-
-    xyz1:  (1, 8, Npad) rows x, y, z along lanes.
-    xyz2:  (1, TM, 128) query tile, cols 0..2 = x, y, z (padded rows at 1e9).
-    valid: (1, 8, Npad) row 0 = 1.0 for real dataset points.
-    idx:   (1, TM, Kpad) i32 out — first ``nsample`` lanes are the ascending
-           hit indices (0 where unfilled).
-    cnt:   (1, TM, 128) i32 out — col 0 is the hit count (capped).
-    """
-    npad = xyz1_ref.shape[2]
-    tm = xyz2_ref.shape[1]
-    kpad = idx_ref.shape[2]
-    x1 = xyz1_ref[0, 0:1, :]
-    y1 = xyz1_ref[0, 1:2, :]
-    z1 = xyz1_ref[0, 2:3, :]
-    qx = xyz2_ref[0, :, 0:1]
-    qy = xyz2_ref[0, :, 1:2]
-    qz = xyz2_ref[0, :, 2:3]
-    dx = qx - x1
-    dy = qy - y1
-    dz = qz - z1
-    d2 = dx * dx + dy * dy + dz * dz  # (TM, Npad)
-    hit = jnp.logical_and(d2 < r2, valid_ref[0, 0:1, :] > 0.0)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tm, npad), 1)
-    kiota = jax.lax.broadcasted_iota(jnp.int32, (tm, kpad), 1)
-    pos0 = jnp.where(hit, iota, n)
-    cnt = jnp.minimum(jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True), nsample)
-    cnt_ref[0, :, 0:1] = cnt
-
-    def body(k, carry):
-        pos, acc = carry
-        m = jnp.min(pos, axis=1, keepdims=True)  # (TM, 1) smallest remaining hit
-        mval = jnp.where(m >= n, 0, m)
-        acc = jnp.where(kiota == k, mval, acc)
-        pos = jnp.where(pos == m, n, pos)
-        return pos, acc
-
-    acc0 = jnp.zeros((tm, kpad), jnp.int32)
-    # only extract as many slots as this tile's fullest ball actually has —
-    # slots at k >= cnt are replicate-first padding, applied by _finalize
-    # outside the kernel, so the (usually much shorter) dynamic bound is
-    # exact, not an approximation
-    kmax = jnp.max(cnt)
-    _, acc = jax.lax.fori_loop(0, kmax, body, (pos0, acc0))
-    idx_ref[0, :, :] = acc
-
-
-def _ball_query_pallas(radius, nsample, xyz1, xyz2, valid1, interpret):
-    b, n, _ = xyz1.shape
-    m = xyz2.shape[1]
-    npad = round_up(n, 128)
-    tm = min(128, round_up(m, 8))
-    mpad = round_up(m, tm)
-    kpad = round_up(nsample, 128)
-
-    x1t = jnp.zeros((b, 8, npad), jnp.float32)
-    x1t = x1t.at[:, 0:3, :n].set(jnp.swapaxes(xyz1.astype(jnp.float32), 1, 2))
-    vrow = jnp.zeros((b, 8, npad), jnp.float32)
-    if valid1 is None:
-        vrow = vrow.at[:, 0, :n].set(1.0)
-    else:
-        vrow = vrow.at[:, 0, :n].set(valid1.astype(jnp.float32))
-    # pad queries far away so padded rows simply produce empty results
-    q = jnp.full((b, mpad, 128), 1e9, jnp.float32)
-    q = q.at[:, :m, 0:3].set(xyz2.astype(jnp.float32))
-
-    grid = (b, mpad // tm)
-    idx, cnt = pl.pallas_call(
-        functools.partial(
-            _ball_query_kernel, nsample=nsample, r2=float(radius) ** 2, n=n
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 8, npad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tm, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, npad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, tm, kpad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, tm, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, mpad, kpad), jnp.int32),
-            jax.ShapeDtypeStruct((b, mpad, 128), jnp.int32),
-        ],
-        interpret=interpret,
-    )(x1t, q, vrow)
-    idx_asc = idx[:, :m, :nsample]
-    cnt = cnt[:, :m, 0]
-    return _finalize(idx_asc, cnt, nsample)
-
-
 # ---------------------------------------------------------------------------
-# Multi-radius variant (concentric scales share one distance computation)
+# Pallas kernel — multi-radius form; the single-radius public op is the
+# one-scale special case (concentric scales share one distance computation)
 # ---------------------------------------------------------------------------
 
 
@@ -326,7 +228,8 @@ def query_ball_point(
         raise ValueError("xyz1/xyz2 must be (B, N, 3)/(B, M, 3)")
     choice = resolve_impl(impl)
     if choice == "pallas":
-        if interpret is None:
-            interpret = jax.default_backend() != "tpu"
-        return _ball_query_pallas(radius, nsample, xyz1, xyz2, valid1, interpret)
+        return query_ball_point_multi(
+            (radius,), (nsample,), xyz1, xyz2, valid1,
+            impl="pallas", interpret=interpret,
+        )[0]
     return _ball_query_xla(radius, nsample, xyz1, xyz2, valid1)

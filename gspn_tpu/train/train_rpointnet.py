@@ -47,6 +47,8 @@ def parse_args(argv=None):
                    help="train with jittered GT boxes instead of GSPN proposals")
     p.add_argument("--ckpt-every", type=int, default=500)
     p.add_argument("--log-every", type=int, default=20)
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="validation-loss interval on a held-out batch (0 = off)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true")
     p.add_argument("--synthetic", action="store_true", default=True)
@@ -156,6 +158,14 @@ def main(argv=None):
 
     save_config(f"{args.log_dir}/config.json", model=cfg, args=args)
 
+    val_batch = None
+    val_fn = None
+    if args.eval_every:
+        val_batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
+        val_fn = jax.jit(
+            lambda s, b, r: loss_fn(s.params, s.batch_stats, b, r)[1][0]
+        )
+
     for i in range(args.steps):
         batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
         k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
@@ -166,6 +176,11 @@ def main(argv=None):
             m = {k: float(v) for k, v in metrics.items()}
             logger.log(int(state.step), m)
             print(format_metrics(int(state.step), m))
+        if args.eval_every and (i + 1) % args.eval_every == 0:
+            vm = val_fn(state, val_batch, jax.random.PRNGKey(args.seed + 1))
+            vm = {f"val_{k}": float(v) for k, v in vm.items()}
+            logger.log(int(state.step), vm)
+            print(format_metrics(int(state.step), vm))
         if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
             ckpt.save(int(state.step), state)
     ckpt.close()
