@@ -10,8 +10,6 @@ fixed-shape arrays.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
-
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -22,7 +20,6 @@ from gspn_tpu.models.rpointnet import (
     RPointNet,
     RPointNetConfig,
     apply_box_deltas,
-    gather_roi_features,
 )
 
 

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 
 from gspn_tpu import ops
 from gspn_tpu.models.gspn import huber
-from gspn_tpu.nn.layers import FCLayers, PointMLP, masked_max
+from gspn_tpu.nn.layers import FCLayers, PointMLP
 from gspn_tpu.nn.pointnet2 import PointNetFPModule, PointNetSAModule
 
 

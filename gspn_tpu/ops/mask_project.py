@@ -14,8 +14,6 @@ Box-membership and thresholding stay outside (cheap fused XLA).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -9,10 +9,7 @@ first-class here (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-import functools
-
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
