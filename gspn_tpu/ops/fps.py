@@ -116,11 +116,18 @@ def _fps_kernel(x_ref, y_ref, z_ref, v_ref, idx_ref, *, npoint: int, n: int):
         # invalid lanes hold -1 and d >= 0, so min keeps them excluded —
         # no per-step re-mask needed
         mind = jnp.minimum(mind, d)
-        best = jnp.max(mind, axis=1, keepdims=True)
-        nxt = jnp.min(
-            jnp.where(mind == best, iota, n), axis=1, keepdims=True
-        ).astype(jnp.int32)
-        nxt = jnp.minimum(nxt, n - 1)
+        if npad > 128:
+            # Mosaic argmax ties -> lowest index (verified on-chip),
+            # matching the oracle; one reduction instead of three passes
+            nxt = jnp.argmax(mind, axis=1, keepdims=True).astype(jnp.int32)
+        else:
+            # argmax fails to legalize on single-lane-tile shapes —
+            # max + lowest-index-of-max (identical semantics)
+            best = jnp.max(mind, axis=1, keepdims=True)
+            nxt = jnp.min(
+                jnp.where(mind == best, iota, n), axis=1, keepdims=True
+            ).astype(jnp.int32)
+            nxt = jnp.minimum(nxt, n - 1)
         acc = jnp.where(kiota == i, nxt, acc)
         return mind, nxt, acc
 
