@@ -57,9 +57,14 @@ def _nn_kernel(a_ref, bt_ref, bvalid_ref, idx_ref, *, m: int):
     dz = az - bz
     d2 = dx * dx + dy * dy + dz * dz  # (TN, Mpad)
     d2 = jnp.where(bvalid_ref[0, 0:1, :] > 0.0, d2, 1e10)
-    best = jnp.min(d2, axis=1, keepdims=True)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (tn, mpad), 1)
-    idx = jnp.min(jnp.where(d2 == best, iota, m), axis=1, keepdims=True)
+    if mpad > 128:
+        # single argmin reduction; Mosaic ties -> lowest index (oracle
+        # semantics). Single-lane-tile shapes fail to legalize -> fallback.
+        idx = jnp.argmin(d2, axis=1, keepdims=True)
+    else:
+        best = jnp.min(d2, axis=1, keepdims=True)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (tn, mpad), 1)
+        idx = jnp.min(jnp.where(d2 == best, iota, m), axis=1, keepdims=True)
     idx_ref[0, :, 0:1] = jnp.minimum(idx, m - 1).astype(jnp.int32)
 
 
