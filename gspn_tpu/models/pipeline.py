@@ -31,6 +31,8 @@ class PipelineConfig:
     score_thresh: float = 0.05
     mask_thresh: float = 0.5
     box_percentile: float = 0.0  # >0: outlier-trimmed proposal extents
+    mask_project: str = "1nn"  # "1nn" (reference rule) | "3nn" (inverse-
+    #                             distance-weighted logits, smoother masks)
 
 
 @flax.struct.dataclass
@@ -45,16 +47,19 @@ class InstancePredictions:
 
 
 def project_roi_masks(
-    xyz, boxes, roi_idx, mask_logits, mask_thresh, valid=None, impl="auto"
+    xyz, boxes, roi_idx, mask_logits, mask_thresh, valid=None, impl="auto",
+    mode: str = "1nn",
 ):
-    """Nearest-sampled-point projection of RoI mask logits to every scene
-    point inside the (refined) box. Returns (B, R, N) bool.
+    """Projection of RoI mask logits to every scene point inside the
+    (refined) box. Returns (B, R, N) bool.
 
-    The reference projects masks back to scene points host-side; this is
-    the same 1-NN rule on-device (Pallas kernel — see
-    ``ops.mask_project.nearest_sample_logit``).
+    mode="1nn": nearest-sampled-point logit (the reference's host-side
+    rule, on-device via the Pallas kernel in ``ops.mask_project``).
+    mode="3nn": inverse-distance-weighted logits of the 3 nearest samples
+    (smoother boundaries; uses the tiled three_nn kernel per RoI).
     """
     b, r, s = roi_idx.shape
+    n = xyz.shape[1]
     sampled = jnp.take_along_axis(
         xyz, roi_idx.reshape(b, r * s, 1), axis=1
     ).reshape(b, r, s, 3)
@@ -69,7 +74,19 @@ def project_roi_masks(
     if valid is not None:
         inside = jnp.logical_and(inside, valid[:, None, :])
 
-    logit = ops.nearest_sample_logit(xyz, sampled, mask_logits, impl=impl)
+    if mode == "3nn":
+        targets = jnp.broadcast_to(xyz[:, None], (b, r, n, 3)).reshape(b * r, n, 3)
+        dist, idx3 = ops.three_nn(
+            targets, sampled.reshape(b * r, s, 3), impl=impl
+        )
+        w = ops.three_interpolate_weights(dist)
+        logit = ops.three_interpolate(
+            mask_logits.reshape(b * r, s, 1), idx3, w
+        ).reshape(b, r, n)
+    elif mode == "1nn":
+        logit = ops.nearest_sample_logit(xyz, sampled, mask_logits, impl=impl)
+    else:
+        raise ValueError(f"mask projection mode must be 1nn|3nn, got {mode}")
     return jnp.logical_and(inside, jax.nn.sigmoid(logit) > mask_thresh)
 
 
@@ -114,7 +131,8 @@ def make_inference_fn(cfg: PipelineConfig):
             jnp.logical_and(keep, out.roi_valid), score > cfg.score_thresh
         )
         masks = project_roi_masks(
-            xyz, refined, out.roi_idx, out.mask_logits, cfg.mask_thresh, valid
+            xyz, refined, out.roi_idx, out.mask_logits, cfg.mask_thresh,
+            valid, mode=cfg.mask_project,
         )
         masks = jnp.logical_and(masks, pvalid[..., None])
         return InstancePredictions(
