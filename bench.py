@@ -41,9 +41,9 @@ def main():
         project_roi_masks,
     )
     from gspn_tpu.models.rpointnet import apply_box_deltas
-    from __graft_entry__ import _tiny_pipeline_config
+    from __graft_entry__ import _flagship_pipeline_config
 
-    cfg = _tiny_pipeline_config()
+    cfg = _flagship_pipeline_config()
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(rng, B, n_points=N, max_instances=8)
     xyz = jnp.asarray(batch["xyz"])
