@@ -23,6 +23,29 @@ B, N = 8, 8192
 WARMUP, ITERS = 3, 20
 
 
+def _host_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
+    """Greedy score-descending NMS on the host — the reference runs NMS in
+    NumPy between proposal generation and RoIAlign (SURVEY.md §3.3 boundary
+    #3); this is that stage of the baseline, not a test oracle."""
+    order = np.argsort(-scores, kind="stable")
+    keep = np.zeros(len(scores), bool)
+    alive = np.ones(len(scores), bool)
+    ext = np.maximum(boxes[:, 3:6] - boxes[:, 0:3], 0.0)
+    vol = ext[:, 0] * ext[:, 1] * ext[:, 2]
+    for oi, i in enumerate(order):
+        if not alive[i]:
+            continue
+        keep[i] = True
+        rest = order[oi + 1:]
+        lo = np.maximum(boxes[i, 0:3], boxes[rest, 0:3])
+        hi = np.minimum(boxes[i, 3:6], boxes[rest, 3:6])
+        e = np.maximum(hi - lo, 0.0)
+        inter = e[:, 0] * e[:, 1] * e[:, 2]
+        union = np.maximum(vol[i] + vol[rest] - inter, 1e-12)
+        alive[rest[inter / union > iou]] = False
+    return keep
+
+
 def _bench(fn, *args):
     # NOTE: block_until_ready does not synchronize on this tunneled TPU
     # backend — use the device-get based timer (gspn_tpu.utils.timing).
@@ -89,10 +112,8 @@ def main():
         boxes, obj = stage_gspn(variables["gspn"], jnp.asarray(xyz_np), jnp.asarray(seeds), v, key)
         boxes_np, obj_np = np.asarray(boxes), np.asarray(obj)  # -> host
         # boundary #3: host NMS (NumPy, like the reference)
-        from tests.oracles import nms_oracle
-
         keeps = np.stack(
-            [nms_oracle(boxes_np[b], obj_np[b], rpn_cfg.nms_iou) for b in range(B)]
+            [_host_nms(boxes_np[b], obj_np[b], rpn_cfg.nms_iou) for b in range(B)]
         )
         cls, deltas, mlog, ridx, rvalid = stage_rpn(
             variables["rpointnet"], jnp.asarray(xyz_np), jnp.asarray(boxes_np), v

@@ -122,18 +122,25 @@ def gather_pack(xyz, feats, sem, inst, idx, num_points: int):
     )
 
 
+def _compact_instance_ids_numpy(inst: np.ndarray) -> tuple[np.ndarray, int]:
+    out = np.zeros_like(inst)
+    mapping: dict[int, int] = {}
+    for i, v in enumerate(inst):
+        if v > 0:
+            if v not in mapping:
+                mapping[v] = len(mapping) + 1
+            out[i] = mapping[v]
+    return out, len(mapping)
+
+
 def compact_instance_ids(inst: np.ndarray) -> tuple[np.ndarray, int]:
     """Remap positive ids to 1..K by first appearance; 0 stays 0."""
     lib = _lib()
     inst = np.ascontiguousarray(inst, np.int32).copy()
     if lib is None:
-        out = np.zeros_like(inst)
-        mapping: dict[int, int] = {}
-        for i, v in enumerate(inst):
-            if v > 0:
-                if v not in mapping:
-                    mapping[v] = len(mapping) + 1
-                out[i] = mapping[v]
-        return out, len(mapping)
+        return _compact_instance_ids_numpy(inst)
+    original = inst.copy()  # native path may partially rewrite on overflow
     k = lib.compact_instance_ids(inst, len(inst))
+    if k < 0:  # >4095 distinct ids: native table overflowed, use slow path
+        return _compact_instance_ids_numpy(original)
     return inst, int(k)

@@ -54,6 +54,26 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
+def _check_ckpt_feature_dim(ckpt_dir: str, name: str, fdim: int):
+    """The trainers save config.json beside the ckpt dir; a feature_dim
+    mismatch would otherwise surface as an opaque Orbax shape error."""
+    cfg_path = pathlib.Path(ckpt_dir).parent / "config.json"
+    if not cfg_path.exists():
+        return
+    try:
+        saved = json.loads(cfg_path.read_text()).get("model", {})
+    except (json.JSONDecodeError, OSError):
+        return
+    saved_fdim = saved.get("feature_dim")
+    if saved_fdim is not None and int(saved_fdim) != fdim:
+        raise ValueError(
+            f"{name} checkpoint {ckpt_dir} was trained with feature_dim="
+            f"{saved_fdim} but the eval data has feature_dim={fdim}; "
+            "point --scannet-dir (or the synthetic source) at data matching "
+            "the training features"
+        )
+
+
 def main(argv=None):
     args = parse_args(argv)
     if args.preset == "tiny":
@@ -75,17 +95,18 @@ def main(argv=None):
             box_percentile=args.box_percentile,
             score_thresh=args.score_thresh,
         )
-    np_rng = np.random.default_rng(args.seed)
     key = jax.random.PRNGKey(args.seed)
     tx = optax.adam(1e-3)
 
-    # data source
+    # data source — each batches() call creates its own rng so probing
+    # shapes below does not perturb the evaluated scene stream
     if args.scannet_dir:
         from gspn_tpu.data.scannet import ScanNetCrops
 
         ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points)
 
         def batches():
+            np_rng = np.random.default_rng(args.seed)
             done = 0
             while done < args.num_scenes:
                 b = min(args.batch, args.num_scenes - done)
@@ -94,6 +115,7 @@ def main(argv=None):
     else:
 
         def batches():
+            np_rng = np.random.default_rng(args.seed)
             done = 0
             while done < args.num_scenes:
                 b = min(args.batch, args.num_scenes - done)
@@ -105,10 +127,20 @@ def main(argv=None):
     # variables: init fresh, then restore each stage with a checkpoint
     first = next(iter(batches()))
     n = first["xyz"].shape[1]
-    fdim = first["features"].shape[-1]
+    f = first.get("features")
+    fdim = 0 if f is None else int(f.shape[-1])
+    if fdim != cfg.gspn.feature_dim or fdim != cfg.rpointnet.feature_dim:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            gspn=dataclasses.replace(cfg.gspn, feature_dim=fdim),
+            rpointnet=dataclasses.replace(cfg.rpointnet, feature_dim=fdim),
+        )
     variables = init_pipeline_variables(cfg, key, n, feature_dim=fdim)
     for name, ckpt in (("gspn", args.gspn_ckpt), ("rpointnet", args.rpointnet_ckpt)):
         if ckpt:
+            _check_ckpt_feature_dim(ckpt, name, fdim)
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                 TrainState.create(variables[name], tx),

@@ -21,12 +21,16 @@ def make_dp_train_step(
     tx: optax.GradientTransformation,
     mesh: Mesh,
     axis: str = "data",
+    bn_momentum_fn=None,
+    model_bn_momentum: float = 0.9,
 ):
     """loss_fn(params, batch_stats, batch, rng) -> jitted SPMD
     step(state, batch, rng) -> (state, metrics).
 
     ``batch`` leading dims must be divisible by the mesh size; ``rng`` is a
     single key, decorrelated per shard with ``fold_in(axis_index)``.
+    ``bn_momentum_fn``: optional dynamic BN-momentum schedule, applied to
+    the pmean-ed batch stats (see ``gspn_tpu.train.schedules``).
     """
 
     def shard_step(state: TrainState, batch, rng):
@@ -37,6 +41,13 @@ def make_dp_train_step(
         grads = jax.lax.pmean(grads, axis)
         new_stats = jax.lax.pmean(new_stats, axis)
         metrics = jax.lax.pmean(metrics, axis)
+        if bn_momentum_fn is not None:
+            from gspn_tpu.train.schedules import reblend_batch_stats
+
+            new_stats = reblend_batch_stats(
+                state.batch_stats, new_stats,
+                bn_momentum_fn(state.step), model_bn_momentum,
+            )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

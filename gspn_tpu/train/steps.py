@@ -195,15 +195,32 @@ def make_rpointnet_loss_fn(
 # ---------------------------------------------------------------------------
 
 
-def make_train_step(loss_fn, tx: optax.GradientTransformation):
+def make_train_step(
+    loss_fn,
+    tx: optax.GradientTransformation,
+    bn_momentum_fn=None,
+    model_bn_momentum: float = 0.9,
+):
     """loss_fn(params, batch_stats, batch, rng) -> jitted
-    step(state, batch, rng) -> (state, metrics)."""
+    step(state, batch, rng) -> (state, metrics).
+
+    bn_momentum_fn: optional ``step -> momentum`` schedule (the reference's
+    dynamic ``bn_decay``); the mutated batch_stats are exactly re-blended
+    from the model's static momentum to the scheduled one (see
+    ``gspn_tpu.train.schedules``)."""
 
     @jax.jit
     def step(state: TrainState, batch, rng):
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, rng)
+        if bn_momentum_fn is not None:
+            from gspn_tpu.train.schedules import reblend_batch_stats
+
+            new_stats = reblend_batch_stats(
+                state.batch_stats, new_stats,
+                bn_momentum_fn(state.step), model_bn_momentum,
+            )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

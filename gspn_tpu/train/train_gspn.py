@@ -1,8 +1,11 @@
 """Stage-1 trainer: GSPN CVAE proposal network.
 
 CLI parity with the reference's root ``train_gspn.py`` (argparse flags,
-epoch loop, periodic checkpoints, text+JSONL logging — SURVEY.md §2.2),
-rebuilt around a jitted (optionally data-parallel) train step.
+epoch loop, lr/bn-decay schedules, periodic checkpoints, text+JSONL
+logging — SURVEY.md §2.2), rebuilt around a jitted (optionally
+data-parallel) train step with deterministic, exactly-resumable data:
+batch ``i`` is a pure function of ``(seed, i)``, so ``--resume`` after a
+crash reproduces the uninterrupted run bit-for-bit (SURVEY.md §5).
 
     python -m gspn_tpu.train.train_gspn --steps 200 --batch 4 --synthetic
 """
@@ -10,6 +13,7 @@ rebuilt around a jitted (optionally data-parallel) train step.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -18,11 +22,32 @@ import optax
 
 from gspn_tpu.data import synthetic
 from gspn_tpu.data.augment import augment_scene
+from gspn_tpu.data.iterator import DeterministicBatches
 from gspn_tpu.models.gspn import GSPN, GSPNConfig
 from gspn_tpu.parallel import make_dp_train_step, make_mesh
 from gspn_tpu.train.checkpoint import CheckpointManager
 from gspn_tpu.train.metrics import MetricsLogger, format_metrics
+from gspn_tpu.train.schedules import bn_momentum_schedule, build_lr_schedule
 from gspn_tpu.train.steps import TrainState, make_gspn_loss_fn, make_train_step
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    """Flags shared by both stage trainers (reference trainer family idiom)."""
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--lr-schedule", choices=["constant", "exp", "cosine"],
+                   default="constant",
+                   help="'exp' = the reference's staircase exponential decay")
+    p.add_argument("--lr-decay-steps", type=int, default=10000)
+    p.add_argument("--lr-decay-rate", type=float, default=0.7)
+    p.add_argument("--lr-min", type=float, default=1e-5)
+    p.add_argument("--bn-decay", action="store_true",
+                   help="schedule BN momentum toward 0.99 (reference "
+                        "get_bn_decay idiom)")
+    p.add_argument("--bn-decay-steps", type=int, default=10000)
+    p.add_argument("--bn-decay-rate", type=float, default=0.5)
+    p.add_argument("--resume", action="store_true",
+                   help="restore the latest checkpoint under --log-dir and "
+                        "continue the exact run (same data stream + rng)")
 
 
 def parse_args(argv=None):
@@ -32,7 +57,6 @@ def parse_args(argv=None):
     p.add_argument("--num-points", type=int, default=4096)
     p.add_argument("--num-seeds", type=int, default=64)
     p.add_argument("--gt-size", type=int, default=256)
-    p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--kl-weight", type=float, default=1.0)
     p.add_argument("--log-dir", type=str, default="runs/gspn")
     p.add_argument("--ckpt-every", type=int, default=500)
@@ -60,6 +84,7 @@ def parse_args(argv=None):
                    help="tiny = small config for smoke tests / CPU; "
                         "object = single-object CVAE (one whole-object "
                         "context per centroid seed, BASELINE config 1)")
+    add_common_args(p)
     return p.parse_args(argv)
 
 
@@ -77,13 +102,16 @@ TINY_GSPN = GSPNConfig(
 )
 
 
-def data_iterator(args, np_rng):
-    ds = None
+def make_sample_fn(args):
+    """``sample_fn(np_rng, batch_size) -> batch dict`` for the configured
+    data source — feeds :class:`DeterministicBatches` so batch ``i`` is a
+    pure function of ``(seed, i)`` and runs resume exactly."""
     if getattr(args, "scannet_dir", None):
         from gspn_tpu.data.scannet import ScanNetCrops
 
         ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points)
-    elif getattr(args, "shapenet_dir", None):
+        return lambda rng, b: ds.sample_batch(rng, b)
+    if getattr(args, "shapenet_dir", None):
         from gspn_tpu.data.shapenet import ShapeNetObjects
 
         ds = ShapeNetObjects(
@@ -91,27 +119,58 @@ def data_iterator(args, np_rng):
             num_points=args.num_points,
             category=getattr(args, "shapenet_category", None),
         )
-    elif getattr(args, "partnet_dir", None):
+        return lambda rng, b: ds.sample_batch(rng, b)
+    if getattr(args, "partnet_dir", None):
         from gspn_tpu.data.partnet import PartNetParts
 
         ds = PartNetParts(args.partnet_dir, num_points=args.num_points)
-    if ds is not None:
-        while True:
-            yield ds.sample_batch(np_rng, args.batch)
-    elif getattr(args, "synthetic_objects", False):
-        while True:
-            yield synthetic.object_scene_batch(
-                np_rng, args.batch, n_points=args.num_points
-            )
-    else:
-        while True:
-            yield synthetic.scene_batch(
-                np_rng, args.batch, n_points=args.num_points, max_instances=8
-            )
+        return lambda rng, b: ds.sample_batch(rng, b)
+    if getattr(args, "synthetic_objects", False):
+        return lambda rng, b: synthetic.object_scene_batch(
+            rng, b, n_points=args.num_points
+        )
+    return lambda rng, b: synthetic.scene_batch(
+        rng, b, n_points=args.num_points, max_instances=8
+    )
+
+
+def data_iterator(args, np_rng):
+    """Back-compat generator API over :func:`make_sample_fn` (not
+    resumable; the trainers use DeterministicBatches directly)."""
+    sample_fn = make_sample_fn(args)
+    while True:
+        yield sample_fn(np_rng, args.batch)
+
+
+def batch_feature_dim(batch) -> int:
+    f = batch.get("features")
+    return 0 if f is None else int(f.shape[-1])
+
+
+def restore_or_init(ckpt: CheckpointManager, state, resume: bool):
+    """(state, start_step): restore the latest checkpoint when resuming."""
+    if not resume:
+        return state, 0
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state
+    )
+    restored = ckpt.restore(abstract)
+    if restored is None:
+        print("--resume: no checkpoint found, starting fresh")
+        return state, 0
+    start = int(restored.step)
+    print(f"--resume: restored step {start}")
+    return restored, start
 
 
 def main(argv=None):
     args = parse_args(argv)
+
+    # deterministic data stream: batch i depends only on (seed, i)
+    batches = DeterministicBatches(make_sample_fn(args), args.batch, args.seed)
+    first = {k: jnp.asarray(v) for k, v in batches.batch_at(0).items()}
+    fdim = batch_feature_dim(first)
+
     if args.preset == "tiny":
         cfg = TINY_GSPN
     elif args.preset == "object":
@@ -120,15 +179,20 @@ def main(argv=None):
         cfg = shapenet_config(args.num_points, num_gen_points=512)
     else:
         cfg = GSPNConfig()
+    if fdim != cfg.feature_dim:  # consume RGB & friends when the data has them
+        cfg = dataclasses.replace(cfg, feature_dim=fdim)
     model = GSPN(cfg)
-    tx = optax.adam(args.lr)
+    tx = optax.adam(build_lr_schedule(args))
+    bn_fn = (
+        bn_momentum_schedule(
+            decay_steps=args.bn_decay_steps, decay_rate=args.bn_decay_rate
+        )
+        if args.bn_decay
+        else None
+    )
     key = jax.random.PRNGKey(args.seed)
-    np_rng = np.random.default_rng(args.seed)
 
-    batches = data_iterator(args, np_rng)
-    first = {k: jnp.asarray(v) for k, v in next(batches).items()}
-
-    # init against real shapes
+    # init against real shapes (with features so param shapes match the data)
     from gspn_tpu import ops
     from gspn_tpu.data.instances import gather_seed_instances
 
@@ -139,23 +203,26 @@ def main(argv=None):
         first["xyz"], first["inst_label"], seed_idx, args.gt_size
     )
     variables = model.init(
-        key, first["xyz"], seed_idx, valid=first["valid"],
-        gt_points=gt_pts, gt_valid=gt_valid, z_rng=key, train=False,
+        key, first["xyz"], seed_idx, features=first.get("features") if fdim else None,
+        valid=first["valid"], gt_points=gt_pts, gt_valid=gt_valid,
+        z_rng=key, train=False,
     )
     state = TrainState.create(variables, tx)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
-    print(f"GSPN: {n_params / 1e6:.2f}M params, devices={jax.device_count()}")
+    print(f"GSPN: {n_params / 1e6:.2f}M params, devices={jax.device_count()}, "
+          f"feature_dim={fdim}")
 
     loss_fn = make_gspn_loss_fn(
         model, args.num_seeds, args.gt_size, {"kl_weight": args.kl_weight}
     )
     if args.dp:
         mesh = make_mesh()
-        step_fn = make_dp_train_step(loss_fn, tx, mesh)
+        step_fn = make_dp_train_step(loss_fn, tx, mesh, bn_momentum_fn=bn_fn)
     else:
-        step_fn = make_train_step(loss_fn, tx)
+        step_fn = make_train_step(loss_fn, tx, bn_momentum_fn=bn_fn)
 
     ckpt = CheckpointManager(f"{args.log_dir}/ckpt")
+    state, start_step = restore_or_init(ckpt, state, args.resume)
     logger = MetricsLogger(args.log_dir)
     from gspn_tpu.train.config_io import save_config
 
@@ -171,17 +238,23 @@ def main(argv=None):
     val_batch = None
     val_fn = None
     if args.eval_every:
-        val_batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
+        # held-out batch from a disjoint stream (never collides with train)
+        val_batch = {
+            k: jnp.asarray(v)
+            for k, v in DeterministicBatches(
+                make_sample_fn(args), args.batch, args.seed + 1_000_003
+            ).batch_at(0).items()
+        }
         val_fn = jax.jit(
             lambda s, b, r: loss_fn(s.params, s.batch_stats, b, r)[1][0]
         )
 
-    for i in range(args.steps):
-        batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
+    for i in range(start_step, args.steps):
+        batch = {k: jnp.asarray(v) for k, v in batches.batch_at(i).items()}
         k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
         batch = prep(batch, k_aug)
         state, metrics = step_fn(state, batch, k_step)
-        if (i + 1) % args.log_every == 0 or i == 0:
+        if (i + 1) % args.log_every == 0 or i == start_step:
             m = {k: float(v) for k, v in metrics.items()}
             logger.log(int(state.step), m)
             print(format_metrics(int(state.step), m))

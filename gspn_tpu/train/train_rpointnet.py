@@ -1,7 +1,8 @@
 """Stage-2 trainer: R-PointNet over (frozen) GSPN proposals.
 
 CLI parity with the reference's root ``train_rpointnet.py`` (restores
-stage-1 weights, trains backbone + heads — SURVEY.md §2.2/§3.2).
+stage-1 weights, trains backbone + heads, lr/bn-decay schedules —
+SURVEY.md §2.2/§3.2), with deterministic resumable data (``--resume``).
 
     python -m gspn_tpu.train.train_rpointnet --steps 200 --batch 2 \
         --gspn-ckpt runs/gspn/ckpt         # or --gt-boxes for isolated training
@@ -10,25 +11,31 @@ stage-1 weights, trains backbone + heads — SURVEY.md §2.2/§3.2).
 from __future__ import annotations
 
 import argparse
+import dataclasses
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
-from gspn_tpu.data import synthetic
 from gspn_tpu.data.augment import augment_scene
+from gspn_tpu.data.iterator import DeterministicBatches
 from gspn_tpu.models.gspn import GSPN, GSPNConfig
 from gspn_tpu.models.rpointnet import RPointNet, RPointNetConfig
 from gspn_tpu.parallel import make_dp_train_step, make_mesh
 from gspn_tpu.train.checkpoint import CheckpointManager
 from gspn_tpu.train.metrics import MetricsLogger, format_metrics
+from gspn_tpu.train.schedules import bn_momentum_schedule, build_lr_schedule
 from gspn_tpu.train.steps import (
     TrainState,
     make_rpointnet_loss_fn,
     make_train_step,
 )
-from gspn_tpu.train.train_gspn import data_iterator
+from gspn_tpu.train.train_gspn import (
+    add_common_args,
+    batch_feature_dim,
+    make_sample_fn,
+    restore_or_init,
+)
 
 
 def parse_args(argv=None):
@@ -39,7 +46,6 @@ def parse_args(argv=None):
     p.add_argument("--num-seeds", type=int, default=64)
     p.add_argument("--max-instances", type=int, default=32)
     p.add_argument("--num-classes", type=int, default=18)
-    p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--log-dir", type=str, default="runs/rpointnet")
     p.add_argument("--gspn-ckpt", type=str, default=None,
                    help="stage-1 checkpoint dir for frozen proposals")
@@ -58,6 +64,7 @@ def parse_args(argv=None):
                    help="disable GT-box mixing into stage-2 RoIs")
     p.add_argument("--no-augment", action="store_true")
     p.add_argument("--preset", choices=["default", "tiny"], default="default")
+    add_common_args(p)
     return p.parse_args(argv)
 
 
@@ -81,24 +88,37 @@ def tiny_rpointnet(num_classes: int) -> RPointNetConfig:
 
 def main(argv=None):
     args = parse_args(argv)
+
+    batches = DeterministicBatches(make_sample_fn(args), args.batch, args.seed)
+    first = {k: jnp.asarray(v) for k, v in batches.batch_at(0).items()}
+    fdim = batch_feature_dim(first)
+    feats0 = first.get("features") if fdim else None
+
     cfg = (
         tiny_rpointnet(args.num_classes)
         if args.preset == "tiny"
         else RPointNetConfig(num_classes=args.num_classes)
     )
+    if fdim != cfg.feature_dim:  # backbone consumes RGB & friends
+        cfg = dataclasses.replace(cfg, feature_dim=fdim)
     model = RPointNet(cfg)
-    tx = optax.adam(args.lr)
+    tx = optax.adam(build_lr_schedule(args))
+    bn_fn = (
+        bn_momentum_schedule(
+            decay_steps=args.bn_decay_steps, decay_rate=args.bn_decay_rate
+        )
+        if args.bn_decay
+        else None
+    )
     key = jax.random.PRNGKey(args.seed)
-    np_rng = np.random.default_rng(args.seed)
-
-    batches = data_iterator(args, np_rng)
-    first = {k: jnp.asarray(v) for k, v in next(batches).items()}
 
     frozen = None
     if args.gspn_ckpt and not args.gt_boxes:
         from gspn_tpu.train.train_gspn import TINY_GSPN
 
         gcfg = TINY_GSPN if args.preset == "tiny" else GSPNConfig()
+        if fdim != gcfg.feature_dim:  # must match the stage-1 checkpoint
+            gcfg = dataclasses.replace(gcfg, feature_dim=fdim)
         gmodel = GSPN(gcfg)
         from gspn_tpu import ops
         from gspn_tpu.data.instances import gather_seed_instances
@@ -112,8 +132,8 @@ def main(argv=None):
             min(256, args.num_points),
         )
         gvars = gmodel.init(
-            key, first["xyz"], sidx, valid=first["valid"], gt_points=gp,
-            gt_valid=gv, z_rng=key, train=False,
+            key, first["xyz"], sidx, features=feats0, valid=first["valid"],
+            gt_points=gp, gt_valid=gv, z_rng=key, train=False,
         )
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
@@ -131,28 +151,31 @@ def main(argv=None):
         frozen = (gmodel, frozen_vars, args.num_seeds)
         print(f"loaded frozen GSPN from {args.gspn_ckpt}")
 
-    # init stage-2 against dummy boxes
+    # init stage-2 against dummy boxes WITH the data's features so the
+    # backbone's first Dense matches what training feeds it
     dummy_boxes = jnp.tile(
         jnp.asarray([[0.0, 0.0, 0.0, 1.0, 1.0, 1.0]], jnp.float32),
         (first["xyz"].shape[0], 8, 1),
     ).reshape(first["xyz"].shape[0], 8, 6)
     variables = model.init(
-        key, first["xyz"], dummy_boxes, valid=first["valid"], train=False
+        key, first["xyz"], dummy_boxes, features=feats0,
+        valid=first["valid"], train=False,
     )
     state = TrainState.create(variables, tx)
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
-    print(f"R-PointNet: {n_params / 1e6:.2f}M params")
+    print(f"R-PointNet: {n_params / 1e6:.2f}M params, feature_dim={fdim}")
 
     loss_fn = make_rpointnet_loss_fn(
         model, args.max_instances, frozen,
         mix_gt_boxes=not args.no_mix_gt_boxes,
     )
     if args.dp:
-        step_fn = make_dp_train_step(loss_fn, tx, make_mesh())
+        step_fn = make_dp_train_step(loss_fn, tx, make_mesh(), bn_momentum_fn=bn_fn)
     else:
-        step_fn = make_train_step(loss_fn, tx)
+        step_fn = make_train_step(loss_fn, tx, bn_momentum_fn=bn_fn)
 
     ckpt = CheckpointManager(f"{args.log_dir}/ckpt")
+    state, start_step = restore_or_init(ckpt, state, args.resume)
     logger = MetricsLogger(args.log_dir)
     from gspn_tpu.train.config_io import save_config
 
@@ -161,18 +184,23 @@ def main(argv=None):
     val_batch = None
     val_fn = None
     if args.eval_every:
-        val_batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
+        val_batch = {
+            k: jnp.asarray(v)
+            for k, v in DeterministicBatches(
+                make_sample_fn(args), args.batch, args.seed + 1_000_003
+            ).batch_at(0).items()
+        }
         val_fn = jax.jit(
             lambda s, b, r: loss_fn(s.params, s.batch_stats, b, r)[1][0]
         )
 
-    for i in range(args.steps):
-        batch = {k: jnp.asarray(v) for k, v in next(batches).items()}
+    for i in range(start_step, args.steps):
+        batch = {k: jnp.asarray(v) for k, v in batches.batch_at(i).items()}
         k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
         if not args.no_augment:
             batch["xyz"] = augment_scene(k_aug, batch["xyz"], batch["valid"])
         state, metrics = step_fn(state, batch, k_step)
-        if (i + 1) % args.log_every == 0 or i == 0:
+        if (i + 1) % args.log_every == 0 or i == start_step:
             m = {k: float(v) for k, v in metrics.items()}
             logger.log(int(state.step), m)
             print(format_metrics(int(state.step), m))

@@ -88,10 +88,13 @@ void gather_pack(const float* xyz, const float* feats, const int32_t* sem,
 }
 
 // Compact instance ids to 1..K preserving first-appearance order
-// (0 stays 0). Returns K.
+// (0 stays 0). Returns K, or -1 if there are more than CAP-1 distinct
+// positive ids (caller must fall back to the slow path; the input array
+// may be partially rewritten in that case).
 int32_t compact_instance_ids(int32_t* inst, int64_t n) {
     // ids are small positive ints in practice; use a fixed-size map with
-    // linear probing for robustness to arbitrary ids.
+    // linear probing for robustness to arbitrary ids. Probing is bounded:
+    // a full table with an absent key would otherwise spin forever.
     const int64_t CAP = 4096;
     int32_t keys[CAP];
     int32_t vals[CAP];
@@ -104,8 +107,13 @@ int32_t compact_instance_ids(int32_t* inst, int64_t n) {
             continue;
         }
         uint64_t h = ((uint64_t)v * 0x9E3779B97F4A7C15ULL) % CAP;
-        while (keys[h] != 0 && keys[h] != v) h = (h + 1) % CAP;
+        int64_t probes = 0;
+        while (keys[h] != 0 && keys[h] != v) {
+            h = (h + 1) % CAP;
+            if (++probes >= CAP) return -1;  // table full, key absent
+        }
         if (keys[h] == 0) {
+            if (next_id >= CAP - 1) return -1;  // keep >=1 empty slot
             keys[h] = v;
             vals[h] = ++next_id;
         }
