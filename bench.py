@@ -8,10 +8,14 @@ same chip: the pipeline split at the reference's three host boundaries
 (SURVEY.md §3.3 — separate feed of each stage with device->host->device
 transfers and host NumPy NMS between them). ``vs_baseline`` is
 fused-points-per-sec / reference-style-points-per-sec.
+
+Flags: ``--dtype bf16`` benches the bf16 (MXU-native) flagship instead of
+f32; point-op kernels stay f32 (index outputs, exact comparisons).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -55,6 +59,10 @@ def _bench(fn, *args):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    args = ap.parse_args()
+
     from gspn_tpu import ops
     from gspn_tpu.data import synthetic
     from gspn_tpu.models.gspn import proposal_boxes
@@ -67,6 +75,14 @@ def main():
     from __graft_entry__ import _flagship_pipeline_config
 
     cfg = _flagship_pipeline_config()
+    if args.dtype == "bf16":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            gspn=dataclasses.replace(cfg.gspn, dtype=jnp.bfloat16),
+            rpointnet=dataclasses.replace(cfg.rpointnet, dtype=jnp.bfloat16),
+        )
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(rng, B, n_points=N, max_instances=8)
     xyz = jnp.asarray(batch["xyz"])
@@ -98,11 +114,11 @@ def main():
     @jax.jit
     def stage_rpn(rvars, xyz, boxes, valid):
         out = rpn.apply(rvars, xyz, boxes, valid=valid, train=False)
-        return out.cls_logits, out.box_deltas, out.mask_logits, out.roi_idx, out.roi_valid
+        return out.cls_logits, out.box_deltas, out.mask_logits, out.roi_xyz, out.roi_valid
 
     @jax.jit
-    def stage_masks(xyz, refined, roi_idx, mask_logits, valid):
-        return project_roi_masks(xyz, refined, roi_idx, mask_logits, cfg.mask_thresh, valid)
+    def stage_masks(xyz, refined, roi_xyz, mask_logits, valid):
+        return project_roi_masks(xyz, refined, roi_xyz, mask_logits, cfg.mask_thresh, valid)
 
     def reference_style(xyz_np, valid_np, key):
         # boundary #1: host feed per stage (device_put from host arrays)
@@ -130,10 +146,13 @@ def main():
     ref_dt = (time.perf_counter() - t0) / max(ITERS // 4, 3)
     ref_pps = B * N / ref_dt
 
+    metric = "instance_seg_inference_points_per_sec_per_chip"
+    if args.dtype != "f32":
+        metric += f"_{args.dtype}"
     print(
         json.dumps(
             {
-                "metric": "instance_seg_inference_points_per_sec_per_chip",
+                "metric": metric,
                 "value": round(fused_pps, 1),
                 "unit": "points/sec",
                 "vs_baseline": round(fused_pps / ref_pps, 3),

@@ -3,7 +3,9 @@ second dataset. Part instances play the role of scene object instances.
 
 Expects PartNet ins_seg h5 layout: ``pts (B, N, 3)``, per-point semantic
 ``label`` (or ``sem_label``) and instance ``ins_label`` (or
-``inst_label``); key names are probed.
+``inst_label``); key names are probed. Rows stream from the files on
+demand — real PartNet (millions of points per split) never needs to fit
+in host RAM.
 """
 
 from __future__ import annotations
@@ -31,26 +33,49 @@ class PartNetParts:
         paths = sorted(pathlib.Path(h5_dir).glob("*.h5"))
         if not paths:
             raise FileNotFoundError(f"no .h5 files under {h5_dir}")
-        pts, sem, ins = [], [], []
-        for p in paths:
-            with h5py.File(p, "r") as f:
-                pk = _pick(f, _PTS_KEYS)
-                sk = _pick(f, _SEM_KEYS)
-                ik = _pick(f, _INS_KEYS)
-                pts.append(np.asarray(f[pk][:], np.float32))
-                sem.append(np.asarray(f[sk][:], np.int32))
-                ins.append(np.asarray(f[ik][:], np.int32))
-        self.pts = np.concatenate(pts)
-        self.sem = np.concatenate(sem)
-        self.ins = np.concatenate(ins)
+        self._files = []
+        self._keys = []
+        file_of, row_of = [], []
+        for fi, p in enumerate(paths):
+            f = h5py.File(p, "r")
+            pk, sk, ik = _pick(f, _PTS_KEYS), _pick(f, _SEM_KEYS), _pick(f, _INS_KEYS)
+            self._files.append(f)
+            self._keys.append((pk, sk, ik))
+            nrows = f[pk].shape[0]
+            file_of.append(np.full(nrows, fi, np.int32))
+            row_of.append(np.arange(nrows, dtype=np.int64))
+        self._file_of = np.concatenate(file_of)
+        self._row_of = np.concatenate(row_of)
         self.num_points = num_points
 
     def __len__(self):
-        return len(self.pts)
+        return len(self._file_of)
+
+    def _read_rows(self, idx: np.ndarray):
+        pts = [None] * len(idx)
+        sem = [None] * len(idx)
+        ins = [None] * len(idx)
+        files = self._file_of[idx]
+        rows = self._row_of[idx]
+        for fi in np.unique(files):
+            where = np.where(files == fi)[0]
+            # h5py fancy indexing needs strictly increasing: read uniques
+            uniq = np.unique(rows[where])
+            f = self._files[fi]
+            pk, sk, ik = self._keys[fi]
+            p = f[pk][uniq.tolist()]
+            s = f[sk][uniq.tolist()]
+            i = f[ik][uniq.tolist()]
+            pos = np.searchsorted(uniq, rows[where])
+            for oi, pi in zip(where, pos):
+                pts[oi] = np.asarray(p[pi], np.float32)
+                sem[oi] = np.asarray(s[pi], np.int32)
+                ins[oi] = np.asarray(i[pi], np.int32)
+        return np.stack(pts), np.stack(sem), np.stack(ins)
 
     def sample_batch(self, rng: np.random.Generator, batch: int) -> dict:
-        idx = rng.integers(0, len(self.pts), batch)
-        pts, sem, ins = self.pts[idx], self.sem[idx], self.ins[idx]
+        idx = rng.integers(0, len(self), batch)
+        pts, sem, ins = self._read_rows(idx)
         n = pts.shape[1]
         if n >= self.num_points:
             cols = rng.choice(n, self.num_points, replace=False)

@@ -3,6 +3,11 @@
 
 Expects pointnet2-style h5 files: datasets ``data (B, N, 3)`` and
 ``label (B,)`` (category id). A category filter selects e.g. chairs.
+
+Rows are streamed from the h5 files on demand (labels — a few bytes per
+object — are indexed eagerly); real ShapeNet splits never need to fit in
+host RAM. Per-object normalization happens at sample time, identically
+to normalizing eagerly.
 """
 
 from __future__ import annotations
@@ -25,31 +30,55 @@ class ShapeNetObjects:
         paths = sorted(pathlib.Path(h5_dir).glob("*.h5"))
         if not paths:
             raise FileNotFoundError(f"no .h5 files under {h5_dir}")
-        datas, labels = [], []
-        for p in paths:
-            with h5py.File(p, "r") as f:
-                datas.append(np.asarray(f["data"][:], np.float32))
-                labels.append(np.asarray(f["label"][:]).reshape(-1).astype(np.int32))
-        self.data = np.concatenate(datas)
+        self._files = [h5py.File(p, "r") for p in paths]
+        file_of, row_of, labels = [], [], []
+        for fi, f in enumerate(self._files):
+            lab = np.asarray(f["label"][:]).reshape(-1).astype(np.int32)
+            nrows = f["data"].shape[0]
+            assert len(lab) == nrows, f"label/data row mismatch in {paths[fi]}"
+            file_of.append(np.full(nrows, fi, np.int32))
+            row_of.append(np.arange(nrows, dtype=np.int64))
+            labels.append(lab)
+        self._file_of = np.concatenate(file_of)
+        self._row_of = np.concatenate(row_of)
         self.label = np.concatenate(labels)
         if category is not None:
             sel = self.label == category
-            self.data, self.label = self.data[sel], self.label[sel]
+            self._file_of = self._file_of[sel]
+            self._row_of = self._row_of[sel]
+            self.label = self.label[sel]
+        if len(self.label) == 0:
+            raise ValueError(f"no objects (category={category}) under {h5_dir}")
         self.num_points = num_points
-        if normalize:
-            centroid = self.data.mean(axis=1, keepdims=True)
-            self.data = self.data - centroid
-            scale = np.abs(self.data).max(axis=(1, 2), keepdims=True)
-            self.data = self.data / np.maximum(scale, 1e-9)
+        self.normalize = normalize
 
     def __len__(self):
-        return len(self.data)
+        return len(self.label)
+
+    def _read_rows(self, idx: np.ndarray) -> np.ndarray:
+        """Gather object point sets for global row ids (streamed)."""
+        out = [None] * len(idx)
+        files = self._file_of[idx]
+        rows = self._row_of[idx]
+        for fi in np.unique(files):
+            where = np.where(files == fi)[0]
+            # h5py fancy indexing needs strictly increasing: read uniques
+            uniq = np.unique(rows[where])
+            data = self._files[fi]["data"][uniq.tolist()]
+            pos = np.searchsorted(uniq, rows[where])
+            for oi, pi in zip(where, pos):
+                out[oi] = np.asarray(data[pi], np.float32)
+        return np.stack(out)
 
     def sample_batch(self, rng: np.random.Generator, batch: int) -> dict:
         """Batch in the standard scene layout: the whole object is one
         instance (id 1) so the CVAE trainer can consume it unchanged."""
-        idx = rng.integers(0, len(self.data), batch)
-        pts = self.data[idx]
+        idx = rng.integers(0, len(self), batch)
+        pts = self._read_rows(idx)
+        if self.normalize:
+            pts = pts - pts.mean(axis=1, keepdims=True)
+            scale = np.abs(pts).max(axis=(1, 2), keepdims=True)
+            pts = pts / np.maximum(scale, 1e-9)
         n = pts.shape[1]
         if n >= self.num_points:
             cols = rng.choice(n, self.num_points, replace=False)

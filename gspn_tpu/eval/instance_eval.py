@@ -34,10 +34,13 @@ class ScenePredictions:
 @dataclasses.dataclass
 class SceneGT:
     """One scene's ground truth: per-point instance ids (0 = none) and the
-    semantic class of each instance id."""
+    semantic class of each instance id. ``void_mask`` marks unannotated
+    points (the official evaluator forgives predictions that mostly cover
+    void); None = no void anywhere."""
 
     inst_label: np.ndarray  # (N,) i32
     inst_class: dict[int, int]  # instance id -> semantic class
+    void_mask: np.ndarray | None = None  # (N,) bool
 
 
 def _mask_iou(pred_mask: np.ndarray, gt_mask: np.ndarray) -> float:
@@ -71,8 +74,29 @@ def evaluate_instances(
     ground_truths: list[SceneGT],
     class_ids: list[int],
     overlaps: np.ndarray | None = None,
+    min_region_size: int = 0,
+    void_forgive: bool = False,
 ) -> dict:
     """AP per class per overlap, plus the benchmark summary numbers.
+
+    Official-protocol knobs (both default OFF so round-1 numbers stay
+    comparable; the official ScanNet evaluator uses
+    ``min_region_size=100, void_forgive=True``):
+
+    - ``min_region_size``: GT instances smaller than this many points are
+      excluded from the GT set; their points join the void region, so
+      predictions covering them are forgiven rather than penalized.
+    - ``void_forgive``: an unmatched prediction whose fraction of points
+      on void/unannotated regions (``SceneGT.void_mask`` plus excluded
+      small same-class instances) exceeds the overlap threshold being
+      evaluated is ignored (neither TP nor FP) — the official evaluator's
+      void-overlap exclusion rule.
+
+    Remaining delta vs the official scripts (documented, not implemented):
+    duplicate predictions of one GT are resolved here greedily in score
+    order (each pred takes its max-IoU unmatched GT), while the official
+    code resolves them per-GT by confidence; the two differ only when two
+    same-class predictions both exceed the threshold on the same GT.
 
     Returns dict with 'ap' (mAP 0.5:0.95), 'ap_50', 'ap_25', and
     'per_class' {class_id: {'ap': ..., 'ap_50': ..., 'ap_25': ...}}.
@@ -85,15 +109,27 @@ def evaluate_instances(
     ap_table: dict[int, dict[float, float]] = {c: {} for c in class_ids}
 
     for cls in class_ids:
-        # gather per-scene GT masks of this class
+        # gather per-scene GT masks of this class; small instances are
+        # excluded and added to the scene's void (forgiveness) region
         scene_gt_masks = []
+        scene_void = []
         n_gt = 0
         for gt in ground_truths:
             masks = []
+            void = (
+                gt.void_mask.copy()
+                if gt.void_mask is not None
+                else np.zeros_like(gt.inst_label, bool)
+            )
             for iid, icls in gt.inst_class.items():
                 if icls == cls and iid > 0:
-                    masks.append(gt.inst_label == iid)
+                    m = gt.inst_label == iid
+                    if min_region_size > 0 and m.sum() < min_region_size:
+                        void |= m
+                    else:
+                        masks.append(m)
             scene_gt_masks.append(masks)
+            scene_void.append(void)
             n_gt += len(masks)
 
         # gather predictions of this class across scenes
@@ -122,6 +158,12 @@ def evaluate_instances(
                     matched[si][best_j] = True
                     tp[ei] = 1
                 else:
+                    if void_forgive:
+                        size = int(pm.sum())
+                        if size > 0:
+                            vfrac = float((pm & scene_void[si]).sum()) / size
+                            if vfrac > ov:
+                                continue  # ignored: neither TP nor FP
                     fp[ei] = 1
             ap_table[cls][float(ov)] = _average_precision(tp, fp, n_gt)
 
@@ -167,11 +209,16 @@ def predictions_from_device(preds, scene_valid=None) -> list[ScenePredictions]:
 
 
 def gt_from_labels(inst_label: np.ndarray, sem_label: np.ndarray) -> SceneGT:
-    """Build SceneGT from per-point instance + semantic label arrays."""
+    """Build SceneGT from per-point instance + semantic label arrays.
+    Points with no semantic annotation (label <= 0) form the void region."""
     inst_class = {}
     for iid in np.unique(inst_label):
         if iid <= 0:
             continue
         members = inst_label == iid
         inst_class[int(iid)] = int(np.bincount(sem_label[members]).argmax())
-    return SceneGT(inst_label=inst_label, inst_class=inst_class)
+    return SceneGT(
+        inst_label=inst_label,
+        inst_class=inst_class,
+        void_mask=np.asarray(sem_label) <= 0,
+    )

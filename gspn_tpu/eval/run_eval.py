@@ -51,6 +51,13 @@ def parse_args(argv=None):
     p.add_argument("--box-percentile", type=float, default=0.0,
                    help=">0: outlier-trimmed proposal box extents")
     p.add_argument("--score-thresh", type=float, default=0.05)
+    p.add_argument("--min-region-size", type=int, default=0,
+                   help="exclude GT instances below this size (official "
+                        "ScanNet protocol uses 100)")
+    p.add_argument("--void-forgive", action="store_true",
+                   help="official void-overlap exclusion: unmatched "
+                        "predictions mostly on unannotated points are "
+                        "ignored rather than counted as FP")
     return p.parse_args(argv)
 
 
@@ -195,7 +202,11 @@ def main(argv=None):
     class_ids = sorted({c for gt in all_gts for c in gt.inst_class.values()})
     if not class_ids:
         class_ids = list(range(1, args.num_classes + 1))
-    res = ie.evaluate_instances(all_preds, all_gts, class_ids)
+    res = ie.evaluate_instances(
+        all_preds, all_gts, class_ids,
+        min_region_size=args.min_region_size,
+        void_forgive=args.void_forgive,
+    )
     summary = {
         "scenes": scene_i,
         "ap": res["ap"],

@@ -141,9 +141,10 @@ class GSPN(nn.Module):
         nscales = len(cfg.context_radii)
         seed_xyz = ops.gather_point(xyz, seed_idx)  # (B, S, 3)
 
-        # ---- (a) multi-scale context crops in the seed frame; concentric
-        # radii share one pairwise-distance pass (query_ball_point_multi)
-        per_scale = ops.query_ball_point_multi(
+        # ---- (a) multi-scale context crops in the seed frame; the fused
+        # kernel shares one distance pass across concentric radii and
+        # emits local coordinates directly (query + gather + re-center)
+        per_scale = ops.query_ball_group_multi(
             cfg.context_radii,
             cfg.context_nsample,
             xyz,
@@ -152,8 +153,7 @@ class GSPN(nn.Module):
             impl=cfg.ops_impl,
         )
         crops = []  # per scale: (B, S, K_s, 3 [+F])
-        for idx, cnt in per_scale:
-            local = ops.group_point(xyz, idx) - seed_xyz[:, :, None, :]
+        for idx, cnt, local in per_scale:
             if features is not None and cfg.feature_dim > 0:
                 local = jnp.concatenate(
                     [local, ops.group_point(features, idx)], axis=-1

@@ -47,22 +47,23 @@ class InstancePredictions:
 
 
 def project_roi_masks(
-    xyz, boxes, roi_idx, mask_logits, mask_thresh, valid=None, impl="auto",
+    xyz, boxes, roi_xyz, mask_logits, mask_thresh, valid=None, impl="auto",
     mode: str = "1nn",
 ):
     """Projection of RoI mask logits to every scene point inside the
-    (refined) box. Returns (B, R, N) bool.
+    (refined) box. ``roi_xyz (B, R, S, 3)`` are the world coordinates of
+    the RoI sample points (``RoIOutputs.roi_xyz`` — dataset points for
+    roi_sample="inbox", free grid points for "grid"). Returns (B, R, N)
+    bool.
 
     mode="1nn": nearest-sampled-point logit (the reference's host-side
     rule, on-device via the Pallas kernel in ``ops.mask_project``).
     mode="3nn": inverse-distance-weighted logits of the 3 nearest samples
     (smoother boundaries; uses the tiled three_nn kernel per RoI).
     """
-    b, r, s = roi_idx.shape
+    b, r, s, _ = roi_xyz.shape
     n = xyz.shape[1]
-    sampled = jnp.take_along_axis(
-        xyz, roi_idx.reshape(b, r * s, 1), axis=1
-    ).reshape(b, r, s, 3)
+    sampled = roi_xyz
 
     inside = jnp.all(
         jnp.logical_and(
@@ -131,7 +132,7 @@ def make_inference_fn(cfg: PipelineConfig):
             jnp.logical_and(keep, out.roi_valid), score > cfg.score_thresh
         )
         masks = project_roi_masks(
-            xyz, refined, out.roi_idx, out.mask_logits, cfg.mask_thresh,
+            xyz, refined, out.roi_xyz, out.mask_logits, cfg.mask_thresh,
             valid, mode=cfg.mask_project,
         )
         masks = jnp.logical_and(masks, pvalid[..., None])

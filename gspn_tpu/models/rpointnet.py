@@ -63,6 +63,17 @@ class RPointNetConfig:
     feature_dim: int = 0  # extra per-point input features
     # RoI align + heads
     roi_samples: int = 64
+    # RoI sampling mode:
+    #   "inbox": gather in-box *dataset* points; the feature gather IS the
+    #            interpolation (TPU-first default, one fused HLO).
+    #   "grid":  reference-faithful (SURVEY.md §2.2 (c)): fixed free points
+    #            on a canonical grid inside the box, backbone features
+    #            interpolated at them via three_nn/three_interpolate.
+    roi_sample: str = "inbox"
+    # "inbox" only: sample in-box points uniformly at random (the
+    # reference's randomized sampling; needs an 'roi' rng at train time)
+    # instead of first-S-in-input-order.
+    roi_randomize: bool = False
     roi_mlp: tuple[int, ...] = (128, 256)
     cls_fc: tuple[int, ...] = (256, 128)
     box_fc: tuple[int, ...] = (256, 128)
@@ -138,9 +149,13 @@ class Backbone(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def point_roi_align(xyz, boxes, s: int, valid=None):
-    """Sample the first ``s`` scene points inside each box (cycling with
-    replacement when the box holds fewer), canonicalize to the RoI frame.
+def point_roi_align(xyz, boxes, s: int, valid=None, rng=None):
+    """Sample ``s`` scene points inside each box (cycling with replacement
+    when the box holds fewer), canonicalize to the RoI frame.
+
+    With ``rng=None``, takes the first ``s`` in input order (deterministic);
+    with an rng, a uniform random in-box subset without replacement (the
+    reference's randomized RoI sampling) via Gumbel top-k.
 
     xyz (B, N, 3), boxes (B, R, 6) -> (idx (B, R, S) i32,
     canon (B, R, S, 3), roi_valid (B, R) bool, in_cnt (B, R) i32).
@@ -152,9 +167,15 @@ def point_roi_align(xyz, boxes, s: int, valid=None):
     inside = jnp.all(jnp.logical_and(p >= lo, p <= hi), axis=-1)  # (B, R, N)
     if valid is not None:
         inside = jnp.logical_and(inside, valid[:, None, :])
-    pos = jnp.where(inside, jnp.arange(n, dtype=jnp.int32), n)
-    neg_top, _ = jax.lax.top_k(-pos, s)
-    first_s = jnp.where(-neg_top >= n, 0, -neg_top)  # (B, R, S) ascending
+    if rng is None:
+        pos = jnp.where(inside, jnp.arange(n, dtype=jnp.int32), n)
+        neg_top, _ = jax.lax.top_k(-pos, s)
+        first_s = jnp.where(-neg_top >= n, 0, -neg_top)  # (B, R, S) ascending
+    else:
+        # uniform subset w/o replacement: top-s of iid gumbel noise
+        g = jax.random.gumbel(rng, inside.shape, jnp.float32)
+        _, first_s = jax.lax.top_k(jnp.where(inside, g, -jnp.inf), s)
+        first_s = first_s.astype(jnp.int32)
     cnt = jnp.sum(inside, axis=-1).astype(jnp.int32)
     # cycle with replacement: slot k -> first_s[k mod cnt]
     k = jnp.arange(s, dtype=jnp.int32)
@@ -182,6 +203,57 @@ def gather_roi_features(features, idx):
     return flat.reshape(b, r, s, c)
 
 
+def _grid_factors(s: int) -> tuple[int, int, int]:
+    """Near-cubic (gx, gy, gz) with gx*gy*gz == s (64 -> 4x4x4)."""
+    best = (1, 1, s)
+    for gx in range(1, int(round(s ** (1 / 3))) + 2):
+        if s % gx:
+            continue
+        rem = s // gx
+        for gy in range(gx, int(rem ** 0.5) + 2):
+            if rem % gy:
+                continue
+            gz = rem // gy
+            if max(gx, gy, gz) - min(gx, gy, gz) <= max(*best) - min(*best):
+                best = (gx, gy, gz)
+    return best
+
+
+def roi_grid_points(boxes, s: int):
+    """Reference-faithful RoI sample points (SURVEY.md §2.2 (c)): ``s``
+    free points on a canonical cell-center grid inside each box.
+
+    boxes (B, R, 6) -> (world (B, R, S, 3), canon (B, R, S, 3)); canon is
+    constant across RoIs (cell centers in [-0.5, 0.5]^3).
+    """
+    gx, gy, gz = _grid_factors(s)
+    ax = [(jnp.arange(g, dtype=jnp.float32) + 0.5) / g - 0.5 for g in (gx, gy, gz)]
+    canon = jnp.stack(jnp.meshgrid(*ax, indexing="ij"), axis=-1).reshape(s, 3)
+    center = (boxes[..., 0:3] + boxes[..., 3:6]) * 0.5
+    extent = jnp.maximum(boxes[..., 3:6] - boxes[..., 0:3], 1e-6)
+    world = center[..., None, :] + canon * extent[..., None, :]
+    canon_b = jnp.broadcast_to(canon, world.shape)
+    return world, canon_b
+
+
+def interpolate_roi_features(xyz, features, world, valid=None, impl="auto"):
+    """Backbone features at free RoI sample points via three_nn +
+    inverse-distance three_interpolate (the reference's Point RoIAlign
+    feature path). xyz (B,N,3), features (B,N,C), world (B,R,S,3) ->
+    (feats (B,R,S,C), nn_idx (B,R,S) nearest dataset point per sample)."""
+    from gspn_tpu import ops
+
+    b, r, s, _ = world.shape
+    targets = world.reshape(b, r * s, 3)
+    dist, idx3 = ops.three_nn(targets, xyz, valid, impl=impl)
+    w = ops.three_interpolate_weights(dist)
+    feats = ops.three_interpolate(features, idx3, w)
+    return (
+        feats.reshape(b, r, s, features.shape[-1]),
+        idx3[..., 0].reshape(b, r, s).astype(jnp.int32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Heads
 # ---------------------------------------------------------------------------
@@ -192,7 +264,10 @@ class RoIOutputs:
     cls_logits: jax.Array  # (B, R, num_classes + 1); class 0 = background
     box_deltas: jax.Array  # (B, R, 6): center offset (×extent) + log-scale
     mask_logits: jax.Array  # (B, R, S)
-    roi_idx: jax.Array  # (B, R, S) sampled scene-point indices
+    roi_idx: jax.Array  # (B, R, S) scene-point index per sample ("inbox":
+    #                     the sampled point; "grid": its nearest neighbor —
+    #                     used for mask training targets)
+    roi_xyz: jax.Array  # (B, R, S, 3) world coords of the sample points
     roi_valid: jax.Array  # (B, R) bool
 
 
@@ -250,10 +325,42 @@ class RPointNet(nn.Module):
     ) -> RoIOutputs:
         cfg = self.config
         feat = Backbone(cfg, name="backbone")(xyz, features, valid, train)
-        idx, canon, roi_valid, _ = point_roi_align(
-            xyz, boxes, cfg.roi_samples, valid
-        )
-        roi_feats = gather_roi_features(feat, idx)
+        if cfg.roi_sample == "grid":
+            # reference-faithful: free grid points + three_nn interpolation
+            world, canon = roi_grid_points(boxes, cfg.roi_samples)
+            roi_feats, idx = interpolate_roi_features(
+                xyz, feat, world, valid, impl=cfg.ops_impl
+            )
+            # validity still = "box contains scene points"
+            inside = jnp.all(
+                jnp.logical_and(
+                    xyz[:, None, :, :] >= boxes[..., None, 0:3],
+                    xyz[:, None, :, :] <= boxes[..., None, 3:6],
+                ),
+                axis=-1,
+            )
+            if valid is not None:
+                inside = jnp.logical_and(inside, valid[:, None, :])
+            roi_valid = jnp.any(inside, axis=-1)
+            roi_xyz = world
+        elif cfg.roi_sample == "inbox":
+            rng = (
+                self.make_rng("roi")
+                if (cfg.roi_randomize and train)
+                else None
+            )
+            idx, canon, roi_valid, _ = point_roi_align(
+                xyz, boxes, cfg.roi_samples, valid, rng=rng
+            )
+            roi_feats = gather_roi_features(feat, idx)
+            b, r, s = idx.shape
+            roi_xyz = jnp.take_along_axis(
+                xyz, idx.reshape(b, r * s, 1), axis=1
+            ).reshape(b, r, s, 3)
+        else:
+            raise ValueError(
+                f"roi_sample must be inbox|grid, got {cfg.roi_sample!r}"
+            )
         cls_logits, box_deltas, mask_logits = RoIHeads(cfg, name="heads")(
             canon, roi_feats, roi_valid, train
         )
@@ -265,6 +372,7 @@ class RPointNet(nn.Module):
             box_deltas=box_deltas,
             mask_logits=mask_logits,
             roi_idx=idx,
+            roi_xyz=roi_xyz,
             roi_valid=roi_valid,
         )
 

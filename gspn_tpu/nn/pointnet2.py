@@ -46,11 +46,12 @@ def sample_and_group(
     if use_knn:
         _, idx = ops.knn_point(nsample, xyz, new_xyz, valid)
         pts_cnt = jnp.full(idx.shape[:2], nsample, jnp.int32)
+        grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
     else:
-        idx, pts_cnt = ops.query_ball_point(
-            radius, nsample, xyz, new_xyz, valid, impl=impl
+        # fused kernel: query + xyz gather + center subtract in one pass
+        ((idx, pts_cnt, grouped_xyz),) = ops.query_ball_group_multi(
+            (radius,), (nsample,), xyz, new_xyz, valid, impl=impl
         )
-    grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
     if points is not None:
         grouped_points = ops.group_point(points, idx)
         if use_xyz:
@@ -183,14 +184,15 @@ class PointNetSAModuleMSG(nn.Module):
         new_xyz = ops.gather_point(xyz, fps_idx)
         outs = []
         any_cnt = None
-        for s, (radius, nsample, mlp) in enumerate(
-            zip(self.radius_list, self.nsample_list, self.mlp_list, strict=True)
+        # one fused distance pass serves every concentric scale
+        per_scale = ops.query_ball_group_multi(
+            self.radius_list, self.nsample_list, xyz, new_xyz, valid,
+            impl=self.ops_impl,
+        )
+        for s, ((idx, cnt, grouped_xyz), mlp) in enumerate(
+            zip(per_scale, self.mlp_list, strict=True)
         ):
-            idx, cnt = ops.query_ball_point(
-                radius, nsample, xyz, new_xyz, valid, impl=self.ops_impl
-            )
             any_cnt = cnt if any_cnt is None else jnp.maximum(any_cnt, cnt)
-            grouped_xyz = ops.group_point(xyz, idx) - new_xyz[:, :, None, :]
             if points is not None:
                 gp = ops.group_point(points, idx)
                 feats = (

@@ -5,6 +5,7 @@ Every op is jittable, static-shaped, batch-first, and takes optional
 validity masks so padded points flow through the whole pipeline.
 """
 
+from gspn_tpu.ops.ball_group import query_ball_group_multi
 from gspn_tpu.ops.ball_query import query_ball_point, query_ball_point_multi
 from gspn_tpu.ops.chamfer import chamfer_loss, nn_distance
 from gspn_tpu.ops.common import pairwise_sqdist
@@ -33,6 +34,7 @@ __all__ = [
     "nn_distance",
     "pairwise_sqdist",
     "prob_sample",
+    "query_ball_group_multi",
     "query_ball_point",
     "query_ball_point_multi",
     "random_prob_sample",

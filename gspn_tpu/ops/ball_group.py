@@ -1,0 +1,327 @@
+"""Fused ball query + group + center-subtract (multi-scale).
+
+The reference composes three CUDA kernels per SA stage — ball query
+(``tf_grouping_g.cu::query_ball_point_gpu``, a serial scan with early
+break per query), ``group_point`` gathers, and a host-side center
+subtract folded into the graph (SURVEY.md §2.1/§3.4). This kernel fuses
+the whole ``sample_and_group`` neighborhood stage for every concentric
+scale at once, with three structural wins over both the reference and
+the round-1 kernels:
+
+1. **Chunked scan with early exit.** Dataset points are scanned in
+   NC-lane chunks; per chunk, each query extracts its in-radius hits in
+   ascending index order (identical to the serial first-come scan). The
+   chunk loop is a ``while_loop`` that stops as soon as every query of
+   every scale has ``nsample`` hits — the vectorized analog of the CUDA
+   kernel's per-thread ``break``, which the round-1 full-width kernel
+   could not do. Extraction passes run over (TM, NC) tiles instead of
+   (TM, Npad), cutting VMEM traffic by ~Npad/NC per pass.
+2. **Fused gather.** Member coordinates are extracted from the same
+   one-hot select that extracts the index, so the downstream
+   ``group_point`` HBM gather for xyz disappears; outputs are local
+   (center-subtracted) coordinate planes ready for the MLP.
+3. **Concentric scales share one distance pass** (as in round 1's
+   ``query_ball_point_multi``).
+
+Semantics are oracle-exact to ``query_ball_point`` + ``group_point`` +
+center subtract, including replicate-first padding, count capping, and
+the empty-row convention (idx 0 => point 0's coordinates).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gspn_tpu.ops.ball_query import _ball_query_xla
+from gspn_tpu.ops.common import resolve_impl, round_up
+from gspn_tpu.ops.grouping import group_point
+
+_NC = 512  # dataset points scanned per chunk
+
+
+def _fused_kernel(
+    xyz_ref,  # (1, 8, Npad): rows 0..2 = x,y,z; row 3 = validity
+    q_ref,  # (1, TM, 128): lanes 0..2 = query coords, lane 3 = validity
+    *out_refs,  # per scale: idx (1,TM,Kpad) i32, cnt (1,TM,128) i32,
+    #             [gx, gy, gz (1,TM,Kpad) f32 when with_coords]
+    nsamples,
+    r2s,
+    n: int,
+    nc: int,
+    with_coords: bool,
+):
+    npad = xyz_ref.shape[2]
+    tm = q_ref.shape[1]
+    nscales = len(nsamples)
+    per = 5 if with_coords else 2
+
+    qx = q_ref[0, :, 0:1]
+    qy = q_ref[0, :, 1:2]
+    qz = q_ref[0, :, 2:3]
+    qvalid = q_ref[0, :, 3:4] > 0.0  # (TM, 1)
+
+    kpads = [out_refs[per * s].shape[2] for s in range(nscales)]
+    kiotas = [
+        jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1) for kp in kpads
+    ]
+    liota = jax.lax.broadcasted_iota(jnp.int32, (tm, nc), 1)
+
+    # ---- loop state: per scale (cnt, idx acc, [x, y, z accs])
+    def init_scale(s):
+        kp = kpads[s]
+        # padded query rows start "done" so they never block early exit
+        cnt = jnp.where(qvalid, 0, nsamples[s]).astype(jnp.int32)
+        acc_i = jnp.zeros((tm, kp), jnp.int32)
+        if with_coords:
+            zero = jnp.zeros((tm, kp), jnp.float32)
+            return (cnt, acc_i, zero, zero, zero)
+        return (cnt, acc_i)
+
+    def all_done(state):
+        done = jnp.bool_(True)
+        for s in range(nscales):
+            done = jnp.logical_and(done, jnp.min(state[s][0]) >= nsamples[s])
+        return done
+
+    nchunks = npad // nc
+
+    def cond(carry):
+        c, state = carry
+        return jnp.logical_and(c < nchunks, jnp.logical_not(all_done(state)))
+
+    def body(carry):
+        c, state = carry
+        off = c * nc
+        x = xyz_ref[0, 0:1, pl.ds(off, nc)]  # (1, NC)
+        y = xyz_ref[0, 1:2, pl.ds(off, nc)]
+        z = xyz_ref[0, 2:3, pl.ds(off, nc)]
+        vm = xyz_ref[0, 3:4, pl.ds(off, nc)] > 0.0
+        dx = qx - x
+        dy = qy - y
+        dz = qz - z
+        d2 = dx * dx + dy * dy + dz * dz  # (TM, NC) — shared across scales
+        gvalid = jnp.logical_and(vm, (off + liota) < n)
+
+        new_state = []
+        for s in range(nscales):
+            k = nsamples[s]
+            cnt = state[s][0]
+            hit = jnp.logical_and(d2 < r2s[s], gvalid)
+            pos0 = jnp.where(hit, liota, nc)
+            hits = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
+            need = jnp.maximum(jnp.minimum(hits, k - cnt), 0)
+            tmax = jnp.max(need)
+
+            def inner(t, st):
+                if with_coords:
+                    pos, cnt, acc_i, ax, ay, az = st
+                else:
+                    pos, cnt, acc_i = st
+                m = jnp.min(pos, axis=1, keepdims=True)  # (TM, 1)
+                ok = jnp.logical_and(m < nc, cnt < k)  # (TM, 1)
+                sel = pos == m  # one-hot over NC (or none if m == nc)
+                gidx = (off + jnp.where(m >= nc, 0, m)).astype(jnp.int32)
+                wk = jnp.logical_and(kiotas[s] == cnt, ok)
+                acc_i = jnp.where(wk, gidx, acc_i)
+                if with_coords:
+                    zf = jnp.zeros((tm, nc), jnp.float32)
+                    cxv = jnp.sum(jnp.where(sel, x, zf), axis=1, keepdims=True)
+                    cyv = jnp.sum(jnp.where(sel, y, zf), axis=1, keepdims=True)
+                    czv = jnp.sum(jnp.where(sel, z, zf), axis=1, keepdims=True)
+                    ax = jnp.where(wk, cxv, ax)
+                    ay = jnp.where(wk, cyv, ay)
+                    az = jnp.where(wk, czv, az)
+                cnt = cnt + jnp.where(ok, 1, 0)
+                pos = jnp.where(jnp.logical_and(sel, ok), nc, pos)
+                if with_coords:
+                    return pos, cnt, acc_i, ax, ay, az
+                return pos, cnt, acc_i
+
+            st0 = (pos0, cnt) + tuple(state[s][1:])
+            stf = jax.lax.fori_loop(0, tmax, inner, st0)
+            new_state.append(stf[1:])
+        return c + 1, tuple(new_state)
+
+    state0 = tuple(init_scale(s) for s in range(nscales))
+    _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
+
+    # point 0's coordinates: the empty-row convention (idx 0 gathers them)
+    if with_coords:
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0
+        zf0 = jnp.zeros((1, 128), jnp.float32)
+        x0 = jnp.sum(jnp.where(lane0, xyz_ref[0, 0:1, 0:128], zf0))
+        y0 = jnp.sum(jnp.where(lane0, xyz_ref[0, 1:2, 0:128], zf0))
+        z0 = jnp.sum(jnp.where(lane0, xyz_ref[0, 2:3, 0:128], zf0))
+
+    for s in range(nscales):
+        k, kp = nsamples[s], kpads[s]
+        kiota = kiotas[s]
+        st = state[s]
+        cnt = jnp.where(qvalid, st[0], 0)  # padded queries report 0
+        acc_i = st[1]
+        # replicate-first padding + zero empty rows
+        lane0k = kiota == 0
+        zi = jnp.zeros((tm, kp), jnp.int32)
+        first_i = jnp.sum(jnp.where(lane0k, acc_i, zi), axis=1, keepdims=True)
+        filled = kiota < cnt
+        acc_i = jnp.where(filled, acc_i, first_i)
+        acc_i = jnp.where(cnt > 0, acc_i, 0)
+        out_refs[per * s][0, :, :] = acc_i
+        cnt_out = jnp.broadcast_to(cnt, (tm, 128)).astype(jnp.int32)
+        out_refs[per * s + 1][0, :, :] = cnt_out
+        if with_coords:
+            zfk = jnp.zeros((tm, kp), jnp.float32)
+            for d, (acc, qd, p0) in enumerate(
+                zip(st[2:5], (qx, qy, qz), (x0, y0, z0), strict=True)
+            ):
+                first_c = jnp.sum(
+                    jnp.where(lane0k, acc, zfk), axis=1, keepdims=True
+                )
+                acc = jnp.where(filled, acc, first_c)
+                acc = jnp.where(cnt > 0, acc, p0)  # empty row: point 0
+                out_refs[per * s + 2 + d][0, :, :] = acc - qd  # local frame
+    # (padded grid rows beyond M are sliced away by the caller)
+
+
+def _fused_pallas(
+    radii, nsamples, xyz1, xyz2, valid1, with_coords, interpret
+):
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    nc = min(_NC, round_up(n, 128))
+    npad = round_up(n, nc)
+    tm = min(128, round_up(m, 8))
+    mpad = round_up(m, tm)
+
+    planes = jnp.zeros((b, 8, npad), jnp.float32)
+    planes = planes.at[:, 0:3, :n].set(
+        jnp.swapaxes(xyz1.astype(jnp.float32), 1, 2)
+    )
+    if valid1 is None:
+        planes = planes.at[:, 3, :n].set(1.0)
+    else:
+        planes = planes.at[:, 3, :n].set(valid1.astype(jnp.float32))
+    q = jnp.zeros((b, mpad, 128), jnp.float32)
+    q = q.at[:, :m, 0:3].set(xyz2.astype(jnp.float32))
+    q = q.at[:, :m, 3].set(1.0)
+
+    per = 5 if with_coords else 2
+    kpads = [round_up(k, 128) for k in nsamples]
+    out_specs, out_shapes = [], []
+    for kp in kpads:
+        specs = [
+            ((1, tm, kp), jnp.int32),
+            ((1, tm, 128), jnp.int32),
+        ]
+        if with_coords:
+            specs += [((1, tm, kp), jnp.float32)] * 3
+        for shape, dt in specs:
+            out_specs.append(
+                pl.BlockSpec(shape, lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+            )
+            out_shapes.append(
+                jax.ShapeDtypeStruct((b, mpad, shape[2]), dt)
+            )
+
+    outs = pl.pallas_call(
+        functools.partial(
+            _fused_kernel,
+            nsamples=tuple(int(k) for k in nsamples),
+            r2s=tuple(float(r) ** 2 for r in radii),
+            n=n,
+            nc=nc,
+            with_coords=with_coords,
+        ),
+        grid=(b, mpad // tm),
+        in_specs=[
+            pl.BlockSpec((1, 8, npad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tm, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(planes, q)
+
+    results = []
+    for s, (k, kp) in enumerate(zip(nsamples, kpads, strict=True)):
+        idx = outs[per * s][:, :m, :k]
+        cnt = outs[per * s + 1][:, :m, 0]
+        if with_coords:
+            gx = outs[per * s + 2][:, :m, :k]
+            gy = outs[per * s + 3][:, :m, :k]
+            gz = outs[per * s + 4][:, :m, :k]
+            grouped = jnp.stack([gx, gy, gz], axis=-1)  # (B, M, K, 3)
+            results.append((idx, cnt, grouped))
+        else:
+            results.append((idx, cnt))
+    return results
+
+
+def query_ball_group_multi(
+    radii,
+    nsamples,
+    xyz1,
+    xyz2,
+    valid1=None,
+    *,
+    impl: str = "auto",
+    interpret: bool | None = None,
+):
+    """Fused multi-scale ball query + group + center subtract.
+
+    Args:
+      radii/nsamples: per-scale ball radii and group sizes (concentric
+        scales share one distance computation).
+      xyz1: (B, N, 3) dataset points.
+      xyz2: (B, M, 3) query centers.
+      valid1: optional (B, N) dataset validity mask.
+
+    Returns per scale: ``(idx (B,M,K) i32, cnt (B,M) i32,
+    grouped_local (B,M,K,3) f32)`` where ``grouped_local`` ==
+    ``group_point(xyz1, idx) - xyz2[:, :, None, :]`` bit-for-bit.
+    """
+    choice = resolve_impl(impl)
+    if choice == "pallas" and xyz1.shape[1] <= 131072:
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return _fused_pallas(
+            radii, nsamples, xyz1, xyz2, valid1, True, interpret
+        )
+    results = []
+    for r, k in zip(radii, nsamples, strict=True):
+        idx, cnt = _ball_query_xla(r, k, xyz1, xyz2, valid1)
+        grouped = group_point(xyz1, idx) - xyz2[:, :, None, :].astype(
+            jnp.float32
+        )
+        results.append((idx, cnt, grouped))
+    return results
+
+
+def query_ball_multi_v2(
+    radii,
+    nsamples,
+    xyz1,
+    xyz2,
+    valid1=None,
+    *,
+    impl: str = "auto",
+    interpret: bool | None = None,
+):
+    """Index-only variant on the chunked early-exit kernel (drop-in for
+    ``query_ball_point_multi``; same return convention)."""
+    choice = resolve_impl(impl)
+    if choice == "pallas" and xyz1.shape[1] <= 131072:
+        if interpret is None:
+            interpret = jax.default_backend() != "tpu"
+        return _fused_pallas(
+            radii, nsamples, xyz1, xyz2, valid1, False, interpret
+        )
+    return [
+        _ball_query_xla(r, k, xyz1, xyz2, valid1)
+        for r, k in zip(radii, nsamples, strict=True)
+    ]

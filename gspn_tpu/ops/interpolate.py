@@ -118,6 +118,158 @@ def _three_nn_pallas(xyz1, xyz2, valid2, interpret):
     return dist[:, :n, 0:3], idx[:, :n, 0:3]
 
 
+_MC = 2048  # sources scanned per chunk in the tiled-M kernel
+
+
+def _three_nn_tiled_kernel(tgt_ref, src_ref, dist_ref, idx_ref, *, m: int, mc: int):
+    """Tiled-M variant for large source sets (whole scenes, SURVEY.md §5
+    long-context row): sources are scanned in MC-lane chunks with a
+    running top-3 merged lexicographically by (distance, global index) —
+    bit-identical results to the single-shot kernel / stable ``top_k``.
+
+    Shapes as in ``_three_nn_kernel``; src may be any 128-multiple M.
+    """
+    mpad = src_ref.shape[2]
+    tn = tgt_ref.shape[1]
+    tx = tgt_ref[0, :, 0:1]
+    ty = tgt_ref[0, :, 1:2]
+    tz = tgt_ref[0, :, 2:3]
+    liota = jax.lax.broadcasted_iota(jnp.int32, (tn, mc), 1)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (tn, 128), 1)
+    big = jnp.float32(1e10)
+
+    def body(c, carry):
+        dbuf, ibuf = carry  # (TN, 128): lanes 0..2 running top3, 3..5 scratch
+        off = c * mc
+        sx = src_ref[0, 0:1, pl.ds(off, mc)]
+        sy = src_ref[0, 1:2, pl.ds(off, mc)]
+        sz = src_ref[0, 2:3, pl.ds(off, mc)]
+        sv = src_ref[0, 3:4, pl.ds(off, mc)] > 0.0
+        dx = tx - sx
+        dy = ty - sy
+        dz = tz - sz
+        d2 = dx * dx + dy * dy + dz * dz
+        d2 = jnp.where(
+            jnp.logical_and(sv, (off + liota) < m), d2, big
+        )
+        # chunk top-3 into scratch lanes 3..5 (ascending, lowest-idx ties)
+        for k in range(3):
+            dmin = jnp.min(d2, axis=1, keepdims=True)
+            lmin = jnp.min(
+                jnp.where(d2 == dmin, liota, mc), axis=1, keepdims=True
+            )
+            gmin = (off + jnp.minimum(lmin, mc - 1)).astype(jnp.int32)
+            dbuf = jnp.where(kiota == 3 + k, dmin, dbuf)
+            ibuf = jnp.where(kiota == 3 + k, gmin, ibuf)
+            d2 = jnp.where(liota == lmin, big, d2)
+        # merge 6 candidates -> top3 (lex order by (d, global idx));
+        # candidates are distinct sources, so masking by (d, i) is safe
+        cand = kiota < 6
+        dwork = jnp.where(cand, dbuf, big)
+        iwork = jnp.where(cand, ibuf, mpad)
+        dnew, inew = dbuf, ibuf
+        for k in range(3):
+            dmin = jnp.min(dwork, axis=1, keepdims=True)
+            imin = jnp.min(
+                jnp.where(dwork == dmin, iwork, mpad), axis=1, keepdims=True
+            )
+            dnew = jnp.where(kiota == k, dmin, dnew)
+            inew = jnp.where(kiota == k, imin.astype(jnp.int32), inew)
+            used = jnp.logical_and(dwork == dmin, iwork == imin)
+            dwork = jnp.where(used, big, dwork)
+            iwork = jnp.where(used, mpad, iwork)
+        return dnew, inew
+
+    dbuf0 = jnp.full((tn, 128), big, jnp.float32)
+    ibuf0 = jnp.zeros((tn, 128), jnp.int32)
+    dbuf, ibuf = jax.lax.fori_loop(0, mpad // mc, body, (dbuf0, ibuf0))
+    dist_ref[0, :, :] = dbuf
+    idx_ref[0, :, :] = jnp.minimum(ibuf, m - 1)
+
+
+def _three_nn_pallas_tiled(xyz1, xyz2, valid2, interpret):
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    mc = min(_MC, round_up(m, 128))
+    mpad = round_up(m, mc)
+    tn = min(128, round_up(n, 8))
+    npad = round_up(n, tn)
+
+    tgt = jnp.zeros((b, npad, 128), jnp.float32)
+    tgt = tgt.at[:, :n, 0:3].set(xyz1.astype(jnp.float32))
+    src = jnp.zeros((b, 8, mpad), jnp.float32)
+    src = src.at[:, 0:3, :m].set(jnp.swapaxes(xyz2.astype(jnp.float32), 1, 2))
+    if valid2 is None:
+        src = src.at[:, 3, :m].set(1.0)
+    else:
+        src = src.at[:, 3, :m].set(valid2.astype(jnp.float32))
+
+    dist, idx = pl.pallas_call(
+        functools.partial(_three_nn_tiled_kernel, m=m, mc=mc),
+        grid=(b, npad // tn),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tn, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 8, mpad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, tn, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tn, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, npad, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(tgt, src)
+    return dist[:, :n, 0:3], idx[:, :n, 0:3]
+
+
+def _three_nn_xla_chunked(xyz1, xyz2, valid2, chunk: int = 4096):
+    """lax.scan over source chunks with a running top-3 — never
+    materializes the (N, M) matrix in HBM (the round-1 fallback did)."""
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    mpad = round_up(m, chunk)
+    pad = mpad - m
+    src = jnp.pad(xyz2.astype(jnp.float32), ((0, 0), (0, pad), (0, 0)))
+    v = (
+        jnp.ones((b, m), bool) if valid2 is None else valid2.astype(bool)
+    )
+    v = jnp.pad(v, ((0, 0), (0, pad)))
+    src_c = src.reshape(b, mpad // chunk, chunk, 3).swapaxes(0, 1)
+    v_c = v.reshape(b, mpad // chunk, chunk).swapaxes(0, 1)
+    offs = jnp.arange(mpad // chunk, dtype=jnp.int32) * chunk
+
+    def step(carry, xs):
+        dbest, ibest = carry  # (B, N, 3) each, ascending
+        s, sv, off = xs
+        d2 = masked_sqdist(xyz1, s, sv)  # (B, N, chunk)
+        dneg, li = jax.lax.top_k(-d2, 3)
+        cand_d = jnp.concatenate([dbest, -dneg], axis=-1)  # (B, N, 6)
+        cand_i = jnp.concatenate([ibest, li + off], axis=-1)
+        # lex sort by (d, i): combine into a sortable key via argsort twice
+        order = jnp.lexsort((cand_i, cand_d), axis=-1)[..., :3]
+        return (
+            jnp.take_along_axis(cand_d, order, axis=-1),
+            jnp.take_along_axis(cand_i, order, axis=-1).astype(jnp.int32),
+        ), None
+
+    init = (
+        jnp.full((b, n, 3), 1e10, jnp.float32),
+        jnp.zeros((b, n, 3), jnp.int32),
+    )
+    (dist, idx), _ = jax.lax.scan(step, init, (src_c, v_c, offs))
+    return dist, jnp.minimum(idx, m - 1)
+
+
 def three_nn(
     xyz1: jax.Array,
     xyz2: jax.Array,
@@ -129,14 +281,20 @@ def three_nn(
     """3 nearest sources for each target. xyz1 (B,N,3) targets, xyz2 (B,M,3)
     sources -> dist (B,N,3) squared ascending, idx (B,N,3) i32.
 
-    The Pallas path keeps the (N, M) distance tile in VMEM only; the XLA
-    path (``top_k`` over the materialized matrix) is the cross-check and
-    the fallback for very large M (> 16384 sources per scene)."""
+    Pallas paths keep distance tiles in VMEM only: the single-shot kernel
+    for M <= 2048 and a tiled-M running-top-3 kernel up to M = 131072
+    (whole scenes). Beyond that (or with impl="xla" and large M) a
+    lax.scan chunked top-3 avoids materializing (N, M) in HBM."""
     choice = resolve_impl(impl)
-    if choice == "pallas" and xyz2.shape[1] <= 16384:
+    m = xyz2.shape[1]
+    if choice == "pallas" and m <= 131072:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        return _three_nn_pallas(xyz1, xyz2, valid2, interpret)
+        if m <= _MC:
+            return _three_nn_pallas(xyz1, xyz2, valid2, interpret)
+        return _three_nn_pallas_tiled(xyz1, xyz2, valid2, interpret)
+    if m > 16384:
+        return _three_nn_xla_chunked(xyz1, xyz2, valid2)
     d2 = masked_sqdist(xyz1, xyz2, valid2)  # (B, N, M)
     neg, idx = jax.lax.top_k(-d2, 3)
     return -neg, idx.astype(jnp.int32)

@@ -97,7 +97,7 @@ def make_spatial_inference(cfg: PipelineConfig, mesh: Mesh, axis: str = "space")
             score > cfg.score_thresh,
         )
         masks = project_roi_masks(
-            xyz, refined, out.roi_idx, out.mask_logits, cfg.mask_thresh, valid
+            xyz, refined, out.roi_xyz, out.mask_logits, cfg.mask_thresh, valid
         )
         masks = jnp.logical_and(masks, pvalid[..., None])
         return InstancePredictions(

@@ -138,7 +138,7 @@ def make_rpointnet_loss_fn(
         gt_boxes, gt_cls, present = instance_gt_boxes(
             xyz, batch["inst_label"], batch["sem_label"], max_instances
         )
-        jitter_rng, drop_rng, rng = jax.random.split(rng, 3)
+        jitter_rng, drop_rng, roi_rng, rng = jax.random.split(rng, 4)
         noise = (
             jax.random.normal(jitter_rng, gt_boxes.shape, jnp.float32)
             * gt_box_jitter
@@ -166,6 +166,11 @@ def make_rpointnet_loss_fn(
         else:
             rois = gt_rois
 
+        rngs = {}
+        if cfg.head_dropout > 0:
+            rngs["dropout"] = drop_rng
+        if cfg.roi_randomize:
+            rngs["roi"] = roi_rng
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             xyz,
@@ -174,7 +179,7 @@ def make_rpointnet_loss_fn(
             valid=valid,
             train=True,
             mutable=["batch_stats"],
-            rngs={"dropout": drop_rng} if cfg.head_dropout > 0 else {},
+            rngs=rngs,
         )
         roi_valid = (
             jnp.logical_and(out.roi_valid, present)

@@ -1,0 +1,93 @@
+"""Whole-scene (large-N) benchmark — SURVEY.md §5's long-context analog
+(VERDICT round-1 item #8): fused instance-seg inference on a 65,536-point
+masked scene, single chip, plus op-level large-N rows. The spatially
+sharded variant of the same scene is validated separately on the virtual
+CPU mesh (tests/test_spatial.py) — ICI timing needs real multi-chip.
+
+    python scripts/bench_large.py
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, N = 1, 65536
+
+
+def main():
+    from gspn_tpu import ops
+    from gspn_tpu.data import synthetic
+    from gspn_tpu.models.pipeline import (
+        init_pipeline_variables,
+        make_inference_fn,
+    )
+    from gspn_tpu.ops.ball_group import query_ball_group_multi
+    from gspn_tpu.utils.timing import time_fn
+    from __graft_entry__ import _flagship_pipeline_config
+
+    cfg = _flagship_pipeline_config()
+    rng = np.random.default_rng(0)
+    batch = synthetic.scene_batch(
+        rng, B, n_points=N, max_instances=24, extent=8.0
+    )
+    # mask ~10% to exercise the padded-scene path
+    valid = np.asarray(batch["valid"]).copy()
+    valid[:, -N // 10:] = False
+    xyz = jnp.asarray(batch["xyz"])
+    validj = jnp.asarray(valid)
+
+    rows = {}
+
+    def bench(name, fn, *xs, iters=10):
+        dt = time_fn(jax.jit(fn), *xs, iters=iters, warmup=2)
+        rows[name] = round(dt * 1e3, 3)
+        print(f"{name:<44s} {dt * 1e3:9.3f} ms")
+        return dt
+
+    # op-level large-N rows
+    bench(
+        f"fps 1024/{N} masked",
+        lambda x, v: ops.farthest_point_sample(1024, x, v), xyz, validj,
+    )
+    q = ops.gather_point(xyz, ops.farthest_point_sample(1024, xyz, validj))
+    bench(
+        f"ball fused +coords (M=1024, K=32, N={N})",
+        lambda a, b: query_ball_group_multi((0.4,), (32,), a, b, validj),
+        xyz, q,
+    )
+    bench(
+        f"three_nn tiled (N={N} <- M=1024)",
+        lambda a, b: ops.three_nn(a, b), xyz, q,
+    )
+    bench(
+        f"three_nn tiled (1024 <- M={N} sources)",
+        lambda a, b: ops.three_nn(a, b, validj), q, xyz,
+    )
+
+    # fused whole-scene inference
+    variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), N)
+    infer = make_inference_fn(cfg)
+    dt = bench(
+        "FUSED whole-scene inference",
+        lambda v_, x, m, k: infer(v_, x, None, m, k),
+        variables, xyz, validj, jax.random.PRNGKey(1), iters=5,
+    )
+    print(json.dumps({
+        "metric": "whole_scene_inference_points_per_sec_per_chip",
+        "value": round(B * N / dt, 1),
+        "unit": "points/sec",
+        "n_points": N,
+        "rows_ms": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -149,7 +149,7 @@ def main():
         lambda x, r, i, m, v: project_roi_masks(
             x, r, i, m, cfg.mask_thresh, v, mode=cfg.mask_project
         ),
-        xyz, refined, out.roi_idx, out.mask_logits, valid,
+        xyz, refined, out.roi_xyz, out.mask_logits, valid,
     )
 
     # ---- fused end-to-end

@@ -52,6 +52,26 @@ def main():
     assert bool(jnp.all(fc == 0)) and bool(jnp.all(fi == 0))
     print("ball_query probe (far queries): empty rows OK")
 
+    # --- fused chunked ball-query+group kernel (multi-scale, early exit)
+    fused = ops.query_ball_group_multi(
+        (0.2, 0.4), (16, k), xyz, centers, valid,
+        impl="pallas", interpret=False,
+    )
+    for (fgi, fgc, fgx), r, kk in zip(fused, (0.2, 0.4), (16, k), strict=True):
+        ri, rc = ops.query_ball_point(r, kk, xyz, centers, valid, impl="xla")
+        want = ops.group_point(xyz, ri) - centers[:, :, None, :]
+        assert bool(jnp.all(fgi == ri)), f"fused idx mismatch r={r}"
+        assert bool(jnp.all(fgc == rc)), f"fused cnt mismatch r={r}"
+        assert bool(jnp.all(fgx == want)), f"fused grouped mismatch r={r}"
+    print("fused ball_group (2 scales, chunked+early-exit): idx/cnt/coords match")
+
+    # --- tiled-M three_nn (large source sets stay in VMEM)
+    td, ti = ops.three_nn(xyz[:, :512], xyz, valid, impl="pallas", interpret=False)
+    xd, xi = ops.three_nn(xyz[:, :512], xyz, valid, impl="xla")
+    assert bool(jnp.all(ti == xi)), "tiled three_nn idx mismatch"
+    assert bool(jnp.all(jnp.abs(td - xd) <= 1e-6 + 3e-7 * jnp.abs(xd)))
+    print(f"tiled three_nn (M={n} sources): pallas==xla")
+
     # --- chamfer: pallas vs xla + grad flows on-device
     ya = xyz[:, :1024]
     yb = xyz[:, 1024:2048]

@@ -1,0 +1,99 @@
+"""Fused ball-query+group kernel (ops/ball_group.py): oracle-exact vs the
+composed query_ball_point + group_point + center-subtract path, both
+impls, masked + unmasked, single and multi scale (CLAUDE.md op contract).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gspn_tpu import ops
+from gspn_tpu.ops.ball_group import query_ball_group_multi, query_ball_multi_v2
+from tests.oracles import ball_query_oracle
+
+
+def _scene(rng, b=2, n=300, m=40, masked=False):
+    xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    xyz2 = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
+    valid = None
+    if masked:
+        valid = jnp.asarray(rng.random((b, n)) > 0.3)
+    return xyz1, xyz2, valid
+
+
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_fused_matches_composed_single_scale(rng, masked, impl):
+    xyz1, xyz2, valid = _scene(rng, masked=masked)
+    radius, k = 0.35, 16
+    (idx, cnt, grouped), = query_ball_group_multi(
+        (radius,), (k,), xyz1, xyz2, valid, impl=impl
+    )
+    # oracle indices/counts
+    oidx, ocnt = ball_query_oracle(
+        radius, k, np.asarray(xyz1), np.asarray(xyz2),
+        None if valid is None else np.asarray(valid),
+    )
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+    # grouped == gather at idx minus centers, bit-for-bit
+    want = ops.group_point(xyz1, idx) - xyz2[:, :, None, :]
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_fused_multi_scale_matches_per_scale(rng, impl):
+    xyz1, xyz2, valid = _scene(rng, masked=True)
+    radii, ks = (0.2, 0.4, 0.8), (8, 16, 32)
+    outs = query_ball_group_multi(radii, ks, xyz1, xyz2, valid, impl=impl)
+    for (idx, cnt, grouped), r, k in zip(outs, radii, ks, strict=True):
+        ridx, rcnt = ops.query_ball_point(r, k, xyz1, xyz2, valid, impl="xla")
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(rcnt))
+        want = ops.group_point(xyz1, idx) - xyz2[:, :, None, :]
+        np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_index_only_variant_matches(rng, impl):
+    xyz1, xyz2, valid = _scene(rng, b=1, n=700, m=24, masked=True)
+    outs = query_ball_multi_v2((0.3, 0.6), (8, 24), xyz1, xyz2, valid, impl=impl)
+    for (idx, cnt), r, k in zip(outs, (0.3, 0.6), (8, 24), strict=True):
+        ridx, rcnt = ops.query_ball_point(r, k, xyz1, xyz2, valid, impl="xla")
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
+        np.testing.assert_array_equal(np.asarray(cnt), np.asarray(rcnt))
+
+
+def test_fused_empty_and_saturated_rows(rng):
+    """Far queries (no hits) reproduce the empty-row convention (idx 0 =>
+    point 0's coords); dense queries saturate and early-exit."""
+    b, n = 1, 600
+    xyz1 = jnp.asarray(rng.uniform(-0.2, 0.2, (b, n, 3)).astype(np.float32))
+    far = np.full((1, 3, 3), 5.0, np.float32)
+    near = np.zeros((1, 2, 3), np.float32)
+    xyz2 = jnp.asarray(np.concatenate([far, near], axis=1))
+    (idx, cnt, grouped), = query_ball_group_multi(
+        (0.5,), (8,), xyz1, xyz2, impl="pallas"
+    )
+    cnt = np.asarray(cnt)
+    assert np.all(cnt[0, :3] == 0) and np.all(cnt[0, 3:] == 8)
+    np.testing.assert_array_equal(np.asarray(idx[0, :3]), 0)
+    want = ops.group_point(xyz1, idx) - xyz2[:, :, None, :]
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
+
+
+def test_fused_crosses_chunk_boundaries(rng):
+    """Hits spanning multiple NC=512 chunks keep global ascending order."""
+    b, n, m, k = 1, 1500, 6, 24
+    xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    xyz2 = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
+    (idx, cnt, grouped), = query_ball_group_multi(
+        (0.9,), (k,), xyz1, xyz2, impl="pallas"
+    )
+    oidx, ocnt = ball_query_oracle(
+        0.9, k, np.asarray(xyz1), np.asarray(xyz2), None
+    )
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+    want = ops.group_point(xyz1, idx) - xyz2[:, :, None, :]
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))

@@ -18,13 +18,14 @@ from tests.test_pipeline_eval import TINY
 def test_3nn_projection_matches_manual(rng):
     b, n, r, s = 1, 60, 2, 6
     xyz = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
-    roi_idx = jnp.asarray(rng.integers(0, n, (b, r, s)).astype(np.int32))
+    roi_idx = rng.integers(0, n, (b, r, s)).astype(np.int32)
+    roi_xyz = jnp.asarray(np.asarray(xyz)[0][roi_idx])  # (B,R,S,3) coords
     logits = jnp.asarray(rng.standard_normal((b, r, s)).astype(np.float32))
     boxes = jnp.tile(jnp.asarray([-9.0, -9, -9, 9, 9, 9]), (b, r, 1))  # all inside
-    m = project_roi_masks(xyz, boxes, roi_idx, logits, 0.5, mode="3nn", impl="xla")
+    m = project_roi_masks(xyz, boxes, roi_xyz, logits, 0.5, mode="3nn", impl="xla")
     xn = np.asarray(xyz[0])
     for ri in range(r):
-        sp = xn[np.asarray(roi_idx)[0, ri]]
+        sp = xn[roi_idx[0, ri]]
         for ni in range(0, n, 7):
             d = np.sum((xn[ni] - sp) ** 2, -1)
             top3 = np.argsort(d, kind="stable")[:3]

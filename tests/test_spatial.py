@@ -51,7 +51,7 @@ def test_spatial_inference_matches_single_device(rng):
         refined = apply_box_deltas(boxes, out.box_deltas)
         pvalid = (keep & out.roi_valid) & (score > cfg.score_thresh)
         masks = project_roi_masks(
-            xyz, refined, out.roi_idx, out.mask_logits, cfg.mask_thresh, valid
+            xyz, refined, out.roi_xyz, out.mask_logits, cfg.mask_thresh, valid
         )
         return masks & pvalid[..., None], jnp.where(pvalid, score, 0.0), cls, pvalid
 
