@@ -76,12 +76,13 @@ def evaluate_instances(
     overlaps: np.ndarray | None = None,
     min_region_size: int = 0,
     void_forgive: bool = False,
+    match: str = "greedy",
 ) -> dict:
     """AP per class per overlap, plus the benchmark summary numbers.
 
-    Official-protocol knobs (both default OFF so round-1 numbers stay
-    comparable; the official ScanNet evaluator uses
-    ``min_region_size=100, void_forgive=True``):
+    Official-protocol knobs (all default to the round-1 behavior so
+    existing numbers stay comparable; the official ScanNet evaluator uses
+    ``min_region_size=100, void_forgive=True, match="per_gt"``):
 
     - ``min_region_size``: GT instances smaller than this many points are
       excluded from the GT set; their points join the void region, so
@@ -91,16 +92,20 @@ def evaluate_instances(
       small same-class instances) exceeds the overlap threshold being
       evaluated is ignored (neither TP nor FP) — the official evaluator's
       void-overlap exclusion rule.
-
-    Remaining delta vs the official scripts (documented, not implemented):
-    duplicate predictions of one GT are resolved here greedily in score
-    order (each pred takes its max-IoU unmatched GT), while the official
-    code resolves them per-GT by confidence; the two differ only when two
-    same-class predictions both exceed the threshold on the same GT.
+    - ``match``: duplicate-prediction resolution. ``"greedy"`` resolves in
+      global score order (each pred takes its max-IoU unmatched GT).
+      ``"per_gt"`` is the official rule: iterate GT instances; every
+      not-yet-used prediction above the IoU threshold is consumed by that
+      GT — the highest-confidence one becomes the GT's single TP (scored
+      at that max confidence), the rest are appended as FPs at their own
+      confidences. The two differ only when two same-class predictions
+      both exceed the threshold on the same GT.
 
     Returns dict with 'ap' (mAP 0.5:0.95), 'ap_50', 'ap_25', and
     'per_class' {class_id: {'ap': ..., 'ap_50': ..., 'ap_25': ...}}.
     """
+    if match not in ("greedy", "per_gt"):
+        raise ValueError(f"match must be greedy|per_gt, got {match!r}")
     assert len(predictions) == len(ground_truths)
     all_overlaps = np.unique(
         np.concatenate([overlaps if overlaps is not None else OVERLAPS_AP, [0.25, 0.5]])
@@ -140,7 +145,68 @@ def evaluate_instances(
                 entries.append((float(pred.scores[pi]), si, int(pi)))
         entries.sort(key=lambda e: -e[0])
 
-        # precompute IoUs pred x gt per scene (lazily per entry)
+        if match == "per_gt":
+            # official rule: per-scene pred lists + IoU matrices, computed
+            # once per class, consumed per overlap threshold below
+            scene_preds: list[list[tuple[float, np.ndarray]]] = [
+                [] for _ in predictions
+            ]
+            for sc, si, pi in entries:
+                scene_preds[si].append((sc, predictions[si].masks[pi]))
+            scene_iou = []
+            for si, plist in enumerate(scene_preds):
+                mat = np.zeros((len(plist), len(scene_gt_masks[si])))
+                for a, (_, pm) in enumerate(plist):
+                    for j, gm in enumerate(scene_gt_masks[si]):
+                        mat[a, j] = _mask_iou(pm, gm)
+                scene_iou.append(mat)
+            for ov in all_overlaps:
+                y_true: list[int] = []
+                y_score: list[float] = []
+                for si, plist in enumerate(scene_preds):
+                    iou = scene_iou[si]
+                    used = np.zeros(len(plist), bool)
+                    for j in range(len(scene_gt_masks[si])):
+                        above = [
+                            a
+                            for a in range(len(plist))
+                            if not used[a] and iou[a, j] > ov
+                        ]
+                        if not above:
+                            continue  # hard false negative (counted via n_gt)
+                        scores = sorted(
+                            (plist[a][0] for a in above), reverse=True
+                        )
+                        y_true.append(1)
+                        y_score.append(scores[0])
+                        for s in scores[1:]:  # duplicates become FPs
+                            y_true.append(0)
+                            y_score.append(s)
+                        used[above] = True
+                    for a in range(len(plist)):
+                        if used[a] or (
+                            iou[a].size and float(iou[a].max()) > ov
+                        ):
+                            continue
+                        sc, pm = plist[a]
+                        if void_forgive:
+                            size = int(pm.sum())
+                            if size > 0:
+                                vfrac = float(
+                                    (pm & scene_void[si]).sum()
+                                ) / size
+                                if vfrac > ov:
+                                    continue  # ignored
+                        y_true.append(0)
+                        y_score.append(sc)
+                order = np.argsort(-np.asarray(y_score, dtype=np.float64), kind="stable")
+                yt = np.asarray(y_true)[order] if len(y_true) else np.zeros(0)
+                ap_table[cls][float(ov)] = _average_precision(
+                    yt, 1 - yt, n_gt
+                )
+            continue
+
+        # greedy (score-descending) matching
         for ov in all_overlaps:
             matched = [np.zeros(len(m), bool) for m in scene_gt_masks]
             tp = np.zeros(len(entries))

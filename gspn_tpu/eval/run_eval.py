@@ -58,6 +58,12 @@ def parse_args(argv=None):
                    help="official void-overlap exclusion: unmatched "
                         "predictions mostly on unannotated points are "
                         "ignored rather than counted as FP")
+    p.add_argument("--match", choices=["greedy", "per_gt"], default="greedy",
+                   help="duplicate-prediction resolution: greedy "
+                        "(score-descending, round-1 behavior) or per_gt "
+                        "(official ScanNet rule: each GT consumes every "
+                        "above-threshold prediction, max-confidence one "
+                        "is the TP)")
     return p.parse_args(argv)
 
 
@@ -206,6 +212,7 @@ def main(argv=None):
         all_preds, all_gts, class_ids,
         min_region_size=args.min_region_size,
         void_forgive=args.void_forgive,
+        match=args.match,
     )
     summary = {
         "scenes": scene_i,

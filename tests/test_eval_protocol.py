@@ -66,6 +66,60 @@ def test_ap_void_forgiveness_ignores_void_preds():
     assert np.isclose(res["ap"], 1.0)
 
 
+def _two_gt_scene():
+    """GT A = pts 0..9, GT B = pts 10..14 (class 1).
+    P1 (score .9) = pts 0..7: IoU(A)=0.8, IoU(B)=0.
+    P0 (score .6) = pts 3..14: IoU(A)=7/15~.467, IoU(B)=5/12~.417."""
+    inst = np.zeros(20, np.int32)
+    inst[0:10] = 1
+    inst[10:15] = 2
+    sem = np.ones(20, np.int32)
+    gt = ie.gt_from_labels(inst, sem)
+
+    def mask(idxs):
+        m = np.zeros(20, bool)
+        m[list(idxs)] = True
+        return m
+
+    preds = ie.ScenePredictions(
+        masks=np.stack([mask(range(0, 8)), mask(range(3, 15))]),
+        scores=np.array([0.9, 0.6]),
+        classes=np.array([1, 1]),
+    )
+    return preds, gt
+
+
+def test_per_gt_matching_consumes_duplicates():
+    """Official per-GT rule vs greedy, hand-computed on _two_gt_scene at
+    ov=0.25: greedy lets P0 fall through to B (P1 took A) -> both GTs
+    matched, AP_25 = 1. per_gt: GT A consumes BOTH above-threshold preds
+    (P1 as the max-confidence TP, P0 as a duplicate FP), leaving B a hard
+    FN -> recall caps at 1/2 with precision envelope [1, .5] -> AP_25 = .5.
+    At ov=0.5 P0 clears neither GT, so the modes agree (AP_50 = .5)."""
+    preds, gt = _two_gt_scene()
+    greedy = ie.evaluate_instances([preds], [gt], [1], match="greedy")
+    official = ie.evaluate_instances([preds], [gt], [1], match="per_gt")
+    assert np.isclose(greedy["ap_25"], 1.0)
+    assert np.isclose(official["ap_25"], 0.5)
+    assert np.isclose(greedy["ap_50"], 0.5)
+    assert np.isclose(official["ap_50"], 0.5)
+
+
+def test_per_gt_matching_agrees_on_simple_scenes():
+    """On the single-GT-per-pred protocol scenes the two modes coincide
+    (incl. min-region exclusion + void forgiveness interplay)."""
+    preds, gt = _scene()
+    for kw in (
+        {},
+        {"min_region_size": 5},
+        {"min_region_size": 5, "void_forgive": True},
+    ):
+        a = ie.evaluate_instances([preds], [gt], [1], match="greedy", **kw)
+        b = ie.evaluate_instances([preds], [gt], [1], match="per_gt", **kw)
+        for k in ("ap", "ap_50", "ap_25"):
+            assert np.isclose(a[k], b[k]), (kw, k, a[k], b[k])
+
+
 def test_void_forgiveness_threshold_is_the_overlap():
     """Official rule: forgiven only when void fraction > the overlap
     threshold under evaluation. A pred 40% on void is forgiven at
