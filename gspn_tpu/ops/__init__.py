@@ -17,6 +17,7 @@ from gspn_tpu.ops.interpolate import (
     three_nn,
 )
 from gspn_tpu.ops.mask_project import nearest_sample_logit
+from gspn_tpu.ops.morton import apply_order, morton_codes, spatial_order
 from gspn_tpu.ops.nms import box_iou, box_volume, nms_3d, nms_3d_batched
 from gspn_tpu.ops.sampling import prob_sample, random_prob_sample
 
@@ -28,6 +29,9 @@ __all__ = [
     "gather_point",
     "group_point",
     "knn_point",
+    "apply_order",
+    "morton_codes",
+    "spatial_order",
     "nearest_sample_logit",
     "nms_3d",
     "nms_3d_batched",

@@ -42,9 +42,12 @@ from gspn_tpu.ops.common import resolve_impl, round_up
 from gspn_tpu.ops.grouping import group_point
 
 _NC = 512  # dataset points scanned per chunk
+_UNROLL = 4  # extraction steps per loop iteration (over-steps are no-ops)
 
 
 def _fused_kernel(
+    rel_ref,  # (B*NT, 1 + nchunks) i32 SMEM, whole array: per (batch,
+    #           query-tile) row = [nrel, ascending relevant chunk ids...]
     xyz_ref,  # (1, 8, Npad): rows 0..2 = x,y,z; row 3 = validity
     q_ref,  # (1, TM, 128): lanes 0..2 = query coords, lane 3 = validity
     *out_refs,  # per scale: idx (1,TM,Kpad) i32, cnt (1,TM,128) i32,
@@ -53,6 +56,7 @@ def _fused_kernel(
     r2s,
     n: int,
     nc: int,
+    ntiles: int,
     with_coords: bool,
 ):
     npad = xyz_ref.shape[2]
@@ -88,15 +92,16 @@ def _fused_kernel(
             done = jnp.logical_and(done, jnp.min(state[s][0]) >= nsamples[s])
         return done
 
-    nchunks = npad // nc
+    row = pl.program_id(0) * ntiles + pl.program_id(1)
+    nrel = rel_ref[row, 0]
 
     def cond(carry):
-        c, state = carry
-        return jnp.logical_and(c < nchunks, jnp.logical_not(all_done(state)))
+        i, state = carry
+        return jnp.logical_and(i < nrel, jnp.logical_not(all_done(state)))
 
     def body(carry):
-        c, state = carry
-        off = c * nc
+        i, state = carry
+        off = rel_ref[row, 1 + i] * nc
         x = xyz_ref[0, 0:1, pl.ds(off, nc)]  # (1, NC)
         y = xyz_ref[0, 1:2, pl.ds(off, nc)]
         z = xyz_ref[0, 2:3, pl.ds(off, nc)]
@@ -105,7 +110,8 @@ def _fused_kernel(
         dy = qy - y
         dz = qz - z
         d2 = dx * dx + dy * dy + dz * dz  # (TM, NC) — shared across scales
-        gvalid = jnp.logical_and(vm, (off + liota) < n)
+        # the validity plane is zero beyond n, so vm alone masks padding
+        gvalid = vm
 
         new_state = []
         for s in range(nscales):
@@ -117,7 +123,7 @@ def _fused_kernel(
             need = jnp.maximum(jnp.minimum(hits, k - cnt), 0)
             tmax = jnp.max(need)
 
-            def inner(t, st):
+            def inner_step(st):
                 if with_coords:
                     pos, cnt, acc_i, ax, ay, az = st
                 else:
@@ -142,10 +148,17 @@ def _fused_kernel(
                     return pos, cnt, acc_i, ax, ay, az
                 return pos, cnt, acc_i
 
+            def inner(t, st):
+                # manual unroll: extra steps no-op via the ok-guards,
+                # so rounding tmax up is safe; amortizes loop control
+                for _ in range(_UNROLL):
+                    st = inner_step(st)
+                return st
+
             st0 = (pos0, cnt) + tuple(state[s][1:])
-            stf = jax.lax.fori_loop(0, tmax, inner, st0)
+            stf = jax.lax.fori_loop(0, (tmax + _UNROLL - 1) // _UNROLL, inner, st0)
             new_state.append(stf[1:])
-        return c + 1, tuple(new_state)
+        return i + 1, tuple(new_state)
 
     state0 = tuple(init_scale(s) for s in range(nscales))
     _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
@@ -188,6 +201,54 @@ def _fused_kernel(
     # (padded grid rows beyond M are sliced away by the caller)
 
 
+def _relevant_chunks(radii, xyz1, xyz2, valid1, nc, npad, tm, mpad):
+    """Per (batch, query-tile): ascending ids of point chunks whose AABB is
+    within max(radii) of the tile's AABB, plus counts. Chunks farther away
+    cannot contain a hit for any query in the tile (exact pruning); on
+    Morton-sorted scenes (ops.morton) most chunks prune away."""
+    b, n, _ = xyz1.shape
+    m = xyz2.shape[1]
+    nchunks = npad // nc
+    ntiles = mpad // tm
+    big = jnp.float32(1e30)
+    x1 = xyz1.astype(jnp.float32)
+    if valid1 is not None:
+        v3 = valid1[..., None]
+        x_lo = jnp.where(v3, x1, big)
+        x_hi = jnp.where(v3, x1, -big)
+    else:
+        x_lo = x_hi = x1
+    pad = ((0, 0), (0, npad - n), (0, 0))
+    x_lo = jnp.pad(x_lo, pad, constant_values=1e30)
+    x_hi = jnp.pad(x_hi, pad, constant_values=-1e30)
+    clo = jnp.min(x_lo.reshape(b, nchunks, nc, 3), axis=2)  # (B, NCH, 3)
+    chi = jnp.max(x_hi.reshape(b, nchunks, nc, 3), axis=2)
+
+    q = xyz2.astype(jnp.float32)
+    qpad = ((0, 0), (0, mpad - m), (0, 0))
+    q_lo = jnp.pad(q, qpad, constant_values=1e30)
+    q_hi = jnp.pad(q, qpad, constant_values=-1e30)
+    tlo = jnp.min(q_lo.reshape(b, ntiles, tm, 3), axis=2)  # (B, NT, 3)
+    thi = jnp.max(q_hi.reshape(b, ntiles, tm, 3), axis=2)
+
+    gap = jnp.maximum(
+        jnp.maximum(tlo[:, :, None, :] - chi[:, None, :, :], 0.0),
+        jnp.maximum(clo[:, None, :, :] - thi[:, :, None, :], 0.0),
+    )  # (B, NT, NCH, 3)
+    # clamp the +-1e30 sentinel gaps so squaring cannot overflow to inf
+    gap = jnp.minimum(gap, 1e15)
+    d2 = jnp.sum(gap * gap, axis=-1)
+    rmax = max(float(r) for r in radii)
+    mask = d2 <= jnp.float32(rmax) ** 2
+    ids = jnp.sort(
+        jnp.where(mask, jnp.arange(nchunks, dtype=jnp.int32), nchunks),
+        axis=-1,
+    )
+    nrel = jnp.sum(mask, axis=-1).astype(jnp.int32)  # (B, NT)
+    packed = jnp.concatenate([nrel[..., None], ids], axis=-1)
+    return packed.reshape(b * ntiles, 1 + nchunks)
+
+
 def _fused_pallas(
     radii, nsamples, xyz1, xyz2, valid1, with_coords, interpret
 ):
@@ -209,6 +270,7 @@ def _fused_pallas(
     q = jnp.zeros((b, mpad, 128), jnp.float32)
     q = q.at[:, :m, 0:3].set(xyz2.astype(jnp.float32))
     q = q.at[:, :m, 3].set(1.0)
+    rel = _relevant_chunks(radii, xyz1, xyz2, valid1, nc, npad, tm, mpad)
 
     per = 5 if with_coords else 2
     kpads = [round_up(k, 128) for k in nsamples]
@@ -235,17 +297,19 @@ def _fused_pallas(
             r2s=tuple(float(r) ** 2 for r in radii),
             n=n,
             nc=nc,
+            ntiles=mpad // tm,
             with_coords=with_coords,
         ),
         grid=(b, mpad // tm),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole rel table
             pl.BlockSpec((1, 8, npad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tm, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(planes, q)
+    )(rel, planes, q)
 
     results = []
     for s, (k, kp) in enumerate(zip(nsamples, kpads, strict=True)):

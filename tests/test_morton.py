@@ -1,0 +1,59 @@
+"""Morton spatial ordering (ops/morton.py): code construction, sort
+properties, and the locality payoff the ball-group chunk pruning relies
+on."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gspn_tpu import ops
+
+
+def _scene(rng, b=2, n=512):
+    return jnp.asarray(rng.uniform(-3, 3, (b, n, 3)).astype(np.float32))
+
+
+def test_morton_codes_deterministic_and_bounded():
+    rng = np.random.default_rng(0)
+    xyz = _scene(rng)
+    c1 = np.asarray(ops.morton_codes(xyz))
+    c2 = np.asarray(ops.morton_codes(xyz))
+    np.testing.assert_array_equal(c1, c2)
+    assert c1.min() >= 0 and c1.max() < (1 << 30)
+
+
+def test_spatial_order_is_permutation_with_invalid_last():
+    rng = np.random.default_rng(1)
+    xyz = _scene(rng)
+    valid = jnp.asarray(rng.uniform(size=xyz.shape[:2]) > 0.3)
+    perm = np.asarray(ops.spatial_order(xyz, valid))
+    for b in range(xyz.shape[0]):
+        assert sorted(perm[b].tolist()) == list(range(xyz.shape[1]))
+        v = np.asarray(valid)[b][perm[b]]
+        # all valid points precede all invalid points
+        first_invalid = np.argmax(~v) if (~v).any() else len(v)
+        assert v[:first_invalid].all() and not v[first_invalid:].any()
+
+
+def test_apply_order_permutes_consistently():
+    rng = np.random.default_rng(2)
+    xyz = _scene(rng)
+    feats = jnp.asarray(rng.standard_normal(xyz.shape[:2] + (5,)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 9, xyz.shape[:2]).astype(np.int32))
+    perm = ops.spatial_order(xyz)
+    sx, sf, sl = ops.apply_order(perm, xyz, feats, labels)
+    p0 = np.asarray(perm)[0]
+    np.testing.assert_array_equal(np.asarray(sx)[0], np.asarray(xyz)[0][p0])
+    np.testing.assert_array_equal(np.asarray(sf)[0], np.asarray(feats)[0][p0])
+    np.testing.assert_array_equal(np.asarray(sl)[0], np.asarray(labels)[0][p0])
+
+
+def test_morton_order_improves_locality():
+    """Mean distance between consecutive points drops after sorting —
+    the property the chunk-AABB pruning exploits."""
+    rng = np.random.default_rng(3)
+    xyz = _scene(rng, b=1, n=2048)
+    sx = ops.apply_order(ops.spatial_order(xyz), xyz)
+    def mean_step(a):
+        a = np.asarray(a)[0]
+        return np.linalg.norm(np.diff(a, axis=0), axis=1).mean()
+    assert mean_step(sx) < 0.35 * mean_step(xyz)
