@@ -131,7 +131,8 @@ class Backbone(nn.Module):
         for i, mlp in enumerate(cfg.fp_mlps):
             lvl = len(cfg.sa_layers) - 1 - i  # target level
             feat = FP(
-                mlp, use_bn=cfg.use_bn, dtype=cfg.dtype, name=f"fp{i + 1}"
+                mlp, use_bn=cfg.use_bn, ops_impl=cfg.ops_impl,
+                dtype=cfg.dtype, name=f"fp{i + 1}",
             )(
                 xs[lvl],
                 xs[lvl + 1],

@@ -213,10 +213,15 @@ class PointNetSAModuleMSG(nn.Module):
 
 class PointNetFPModule(nn.Module):
     """Feature propagation, ``pointnet_fp_module`` parity: three_nn ->
-    inverse-distance interpolate -> skip concat -> unit MLP."""
+    inverse-distance interpolate -> skip concat -> unit MLP.
+
+    With ``ops_impl`` resolving to pallas (the TPU default), interpolation
+    uses the MXU sparse-matmul kernel (``ops.three_interpolate_mm`` —
+    equal to the exact path up to fp32 summation order)."""
 
     mlp: Sequence[int]
     use_bn: bool = True
+    ops_impl: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -232,9 +237,14 @@ class PointNetFPModule(nn.Module):
     ):
         """xyz1 (B,N,3) targets w/ skip feats points1 (B,N,C1) or None;
         xyz2 (B,M,3) sources w/ feats points2 (B,M,C2) -> (B,N,mlp[-1])."""
-        dist, idx = ops.three_nn(xyz1, xyz2, valid2)
+        dist, idx = ops.three_nn(xyz1, xyz2, valid2, impl=self.ops_impl)
         weight = ops.three_interpolate_weights(dist)
-        interp = ops.three_interpolate(points2, idx, weight)
+        from gspn_tpu.ops.common import resolve_impl
+
+        if resolve_impl(self.ops_impl) == "pallas":
+            interp = ops.three_interpolate_mm(points2, idx, weight)
+        else:
+            interp = ops.three_interpolate(points2, idx, weight)
         if points1 is not None:
             feats = jnp.concatenate([interp, points1], axis=-1)
         else:

@@ -12,6 +12,7 @@ from gspn_tpu.ops.common import pairwise_sqdist
 from gspn_tpu.ops.fps import farthest_point_sample
 from gspn_tpu.ops.grouping import gather_point, group_point, knn_point
 from gspn_tpu.ops.interpolate import (
+    three_interpolate_mm,
     three_interpolate,
     three_interpolate_weights,
     three_nn,
@@ -29,6 +30,7 @@ __all__ = [
     "gather_point",
     "group_point",
     "knn_point",
+    "three_interpolate_mm",
     "apply_order",
     "morton_codes",
     "spatial_order",

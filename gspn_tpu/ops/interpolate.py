@@ -313,7 +313,144 @@ def three_interpolate(
 ) -> jax.Array:
     """``(B, M, C), (B, N, 3) i32, (B, N, 3) -> (B, N, C)`` weighted gather.
 
-    Differentiable w.r.t. points (scatter-add) and weight.
+    Differentiable w.r.t. points (scatter-add) and weight. This is the
+    reference-exact formulation (sum over the k=0..2 axis); see
+    :func:`three_interpolate_mm` for the MXU fast path.
     """
     gathered = group_point(points, idx)  # (B, N, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# MXU sparse-matmul interpolation (fast path)
+# ---------------------------------------------------------------------------
+
+_IMC = 1024  # sources per matmul chunk in the MXU interpolation kernel
+
+
+def _interp_mm_kernel(idx_ref, w_ref, pts_ref, out_ref, *, mc: int):
+    """Grid (B, N//TN). out = W @ points where W (TN, M) holds each target
+    row's 3 inverse-distance weights at its source columns — the row
+    gather rides the MXU instead of the (slow) XLA row-gather path.
+
+    idx: (1, TN, 128) i32, lanes 0..2; w: (1, TN, 128) f32, lanes 0..2;
+    pts: (1, Mpad, C); out: (1, TN, C).
+    """
+    mpad, c = pts_ref.shape[1], pts_ref.shape[2]
+    tn = idx_ref.shape[1]
+    acc = jnp.zeros((tn, c), jnp.float32)
+
+    def body(ch, acc):
+        off = ch * mc
+        pts_c = pts_ref[0, pl.ds(off, mc), :]  # (MC, C)
+        miota = jax.lax.broadcasted_iota(jnp.int32, (tn, mc), 1) + off
+        w_tile = jnp.zeros((tn, mc), jnp.float32)
+        for k in range(3):
+            ik = idx_ref[0, :, k : k + 1]  # (TN, 1)
+            wk = w_ref[0, :, k : k + 1]
+            w_tile = w_tile + jnp.where(miota == ik, wk, 0.0)
+        return acc + jnp.dot(
+            w_tile,
+            pts_c,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    acc = jax.lax.fori_loop(0, mpad // mc, body, acc)
+    out_ref[0, :, :] = acc
+
+
+def _three_interpolate_mm_fwd(points, idx, weight, interpret):
+    b, m, c = points.shape
+    n = idx.shape[1]
+    cpad = round_up(c, 128)
+    mc = min(_IMC, round_up(m, 128))
+    mpad = round_up(m, mc)
+    tn = min(128, round_up(n, 8))
+    npad = round_up(n, tn)
+
+    pts = jnp.zeros((b, mpad, cpad), jnp.float32)
+    pts = pts.at[:, :m, :c].set(points.astype(jnp.float32))
+    idx_t = jnp.zeros((b, npad, 128), jnp.int32)
+    idx_t = idx_t.at[:, :n, 0:3].set(idx.astype(jnp.int32))
+    # padded target rows keep idx 0 / weight 0 -> contribute nothing
+    w_t = jnp.zeros((b, npad, 128), jnp.float32)
+    w_t = w_t.at[:, :n, 0:3].set(weight.astype(jnp.float32))
+
+    out = pl.pallas_call(
+        functools.partial(_interp_mm_kernel, mc=mc),
+        grid=(b, npad // tn),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tn, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, tn, 128), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, mpad, cpad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tn, cpad), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, npad, cpad), jnp.float32),
+        interpret=interpret,
+    )(idx_t, w_t, pts)
+    return out[:, :n, :c]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _three_interpolate_mm(points, idx, weight, interpret):
+    return _three_interpolate_mm_fwd(points, idx, weight, interpret)
+
+
+def _mm_fwd(points, idx, weight, interpret):
+    return (
+        _three_interpolate_mm_fwd(points, idx, weight, interpret),
+        (points, idx, weight),
+    )
+
+
+def _mm_bwd(interpret, res, g):
+    import numpy as np
+
+    points, idx, weight = res
+    b, n, _ = idx.shape
+    m, c = points.shape[1], points.shape[2]
+    # d/dpoints: scatter-add of weight * g at idx (what autodiff derives
+    # for the exact path); d/dweight: <gathered points, g> per neighbor
+    contrib = (weight[..., None] * g[..., None, :]).reshape(b, n * 3, c)
+    dpoints = jnp.zeros((b, m, c), g.dtype)
+    dpoints = dpoints.at[
+        jnp.arange(b)[:, None], idx.reshape(b, n * 3)
+    ].add(contrib)
+    gathered = group_point(points, idx)  # (B, N, 3, C)
+    dweight = jnp.sum(gathered * g[..., None, :], axis=-1)
+    didx = np.zeros(idx.shape, dtype=jax.dtypes.float0)
+    return dpoints.astype(points.dtype), didx, dweight.astype(weight.dtype)
+
+
+_three_interpolate_mm.defvjp(_mm_fwd, _mm_bwd)
+
+
+def three_interpolate_mm(
+    points: jax.Array,
+    idx: jax.Array,
+    weight: jax.Array,
+    *,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """MXU fast path for :func:`three_interpolate`: the 3-neighbor gather
+    + weighted sum runs as one sparse-W matmul per target tile, entirely
+    on the MXU (the XLA row-gather it replaces is the slowest primitive
+    class on this chip — see STATUS.md kernel notes).
+
+    Numerics: equal to :func:`three_interpolate` up to fp32 summation
+    order (the matmul accumulates the 3 terms in source order rather than
+    neighbor-rank order) — within 1-2 ulp, not bit-identical. Gradient is
+    the exact scatter-add/inner-product pair via custom_vjp.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _three_interpolate_mm(points, idx, weight, interpret)

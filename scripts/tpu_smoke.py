@@ -72,6 +72,15 @@ def main():
     assert bool(jnp.all(jnp.abs(td - xd) <= 1e-6 + 3e-7 * jnp.abs(xd)))
     print(f"tiled three_nn (M={n} sources): pallas==xla")
 
+    # --- MXU sparse-matmul interpolation vs exact gather path
+    feats = jax.random.normal(jax.random.PRNGKey(3), (b, n, 64), jnp.float32)
+    w = ops.three_interpolate_weights(td)
+    exact = ops.three_interpolate(feats, ti, w)
+    fast = ops.three_interpolate_mm(feats, ti, w, interpret=False)
+    err = jnp.max(jnp.abs(exact - fast))
+    assert bool(err <= 2e-6 + 2e-6 * jnp.max(jnp.abs(exact))), f"mm err {err}"
+    print(f"three_interpolate_mm (MXU): max |diff| {float(err):.2e}")
+
     # --- chamfer: pallas vs xla + grad flows on-device
     ya = xyz[:, :1024]
     yb = xyz[:, 1024:2048]

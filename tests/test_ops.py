@@ -269,3 +269,46 @@ def test_ops_jit_and_vmap(rng):
     g, c = pipeline(xyz)
     assert g.shape == (2, 32, 8, 3)
     assert c.shape == (2, 32)
+
+
+def test_three_interpolate_mm_matches_exact(rng):
+    """MXU sparse-matmul interpolation == exact gather path (up to fp32
+    summation order), values and both gradients."""
+    b, m, n, c = 2, 150, 200, 40
+    pts = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32))
+    xyz1 = jnp.asarray(cloud(rng, b, n))
+    xyz2 = jnp.asarray(cloud(rng, b, m))
+    dist, idx = ops.three_nn(xyz1, xyz2)
+    w = ops.three_interpolate_weights(dist)
+    a = np.asarray(ops.three_interpolate(pts, idx, w))
+    bb = np.asarray(ops.three_interpolate_mm(pts, idx, w))
+    np.testing.assert_allclose(a, bb, rtol=2e-6, atol=2e-6)
+
+    def fa(p, w):
+        return jnp.sum(jnp.sin(ops.three_interpolate(p, idx, w)))
+
+    def fb(p, w):
+        return jnp.sum(jnp.sin(ops.three_interpolate_mm(p, idx, w)))
+
+    ga = jax.grad(fa, argnums=(0, 1))(pts, w)
+    gb = jax.grad(fb, argnums=(0, 1))(pts, w)
+    for x, y in zip(ga, gb):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6
+        )
+
+
+def test_three_interpolate_mm_chunked_sources(rng):
+    """Source count above the kernel's matmul chunk exercises the
+    accumulation loop."""
+    from gspn_tpu.ops import interpolate as interp_mod
+
+    b, m, n, c = 1, interp_mod._IMC + 300, 64, 8
+    pts = jnp.asarray(rng.standard_normal((b, m, c)).astype(np.float32))
+    xyz1 = jnp.asarray(cloud(rng, b, n))
+    xyz2 = jnp.asarray(cloud(rng, b, m))
+    dist, idx = ops.three_nn(xyz1, xyz2)
+    w = ops.three_interpolate_weights(dist)
+    a = np.asarray(ops.three_interpolate(pts, idx, w))
+    bb = np.asarray(ops.three_interpolate_mm(pts, idx, w))
+    np.testing.assert_allclose(a, bb, rtol=2e-6, atol=2e-6)
