@@ -97,3 +97,44 @@ def test_fused_crosses_chunk_boundaries(rng):
     np.testing.assert_array_equal(np.asarray(cnt), ocnt)
     want = ops.group_point(xyz1, idx) - xyz2[:, :, None, :]
     np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
+
+
+def test_fused_all_chunks_pruned(rng):
+    """A query tile whose AABB is farther than max(radius) from every
+    point chunk prunes its entire chunk list (nrel=0): the kernel's scan
+    loop never runs and every row reports the empty-row convention."""
+    b, n = 1, 700
+    xyz1 = jnp.asarray(rng.uniform(-0.3, 0.3, (b, n, 3)).astype(np.float32))
+    xyz2 = jnp.asarray(np.full((b, 5, 3), 50.0, np.float32))
+    (idx, cnt, grouped), = query_ball_group_multi(
+        (0.4,), (8,), xyz1, xyz2, impl="pallas"
+    )
+    np.testing.assert_array_equal(np.asarray(cnt), 0)
+    np.testing.assert_array_equal(np.asarray(idx), 0)
+    want = ops.group_point(xyz1, idx) - xyz2[:, :, None, :]
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
+
+
+def test_fused_prune_partial_chunks(rng):
+    """Clustered dataset (two far-apart blobs along the index axis) with
+    nearby queries: pruning visits a strict subset of chunks yet output
+    is oracle-exact."""
+    blob_a = rng.uniform(-0.2, 0.2, (1, 700, 3)).astype(np.float32)
+    blob_b = rng.uniform(9.8, 10.2, (1, 700, 3)).astype(np.float32)
+    xyz1 = jnp.asarray(np.concatenate([blob_a, blob_b], axis=1))
+    xyz2 = jnp.asarray(
+        np.concatenate(
+            [rng.uniform(-0.1, 0.1, (1, 4, 3)), rng.uniform(9.9, 10.1, (1, 4, 3))],
+            axis=1,
+        ).astype(np.float32)
+    )
+    valid = jnp.asarray(rng.uniform(size=(1, 1400)) > 0.1)
+    for r, k in ((0.3, 8), (0.6, 16)):
+        (idx, cnt, grouped), = query_ball_group_multi(
+            (r,), (k,), xyz1, xyz2, valid, impl="pallas"
+        )
+        oidx, ocnt = ball_query_oracle(
+            r, k, np.asarray(xyz1), np.asarray(xyz2), np.asarray(valid)
+        )
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+        np.testing.assert_array_equal(np.asarray(cnt), ocnt)
