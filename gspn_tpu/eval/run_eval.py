@@ -154,18 +154,23 @@ def main(argv=None):
     for name, ckpt in (("gspn", args.gspn_ckpt), ("rpointnet", args.rpointnet_ckpt)):
         if ckpt:
             _check_ckpt_feature_dim(ckpt, name, fdim)
+            # params/batch_stats only — eval must not depend on which
+            # optimizer/lr schedule the trainer used (opt_state differs)
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                TrainState.create(variables[name], tx),
+                {
+                    "params": variables[name]["params"],
+                    "batch_stats": variables[name].get("batch_stats", {}),
+                },
             )
             mgr = CheckpointManager(ckpt)
-            restored = mgr.restore(abstract)
+            restored = mgr.restore_params(abstract)
             mgr.close()
             if restored is None:
                 raise FileNotFoundError(f"no checkpoint under {ckpt}")
             variables[name] = {
-                "params": restored.params,
-                "batch_stats": restored.batch_stats,
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
             }
             print(f"restored {name} from {ckpt}")
 

@@ -40,6 +40,24 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(abstract_state)
         )
 
+    def restore_params(self, abstract_variables: Any, step: int | None = None):
+        """Restore only the variable collections of a saved TrainState
+        (e.g. ``{"params": ..., "batch_stats": ...}`` of ShapeDtypeStructs),
+        skipping ``opt_state``/``step``. Unlike :meth:`restore`, this does
+        not require knowing which optimizer/lr-schedule the saving trainer
+        used — their ``opt_state`` pytrees differ (constant-lr adam vs
+        schedule-wrapped adam), which is exactly what frozen-stage restore
+        and eval must be agnostic to."""
+        step = self.latest_step() if step is None else step
+        if step is None:
+            return None
+        return self._mgr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                item=abstract_variables, partial_restore=True
+            ),
+        )
+
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
@@ -48,14 +66,23 @@ class CheckpointManager:
 
 
 def load_stage1_params(ckpt_dir, abstract_state, subtree: str | None = None):
-    """Restore a stage-1 (GSPN) TrainState and return its params (optionally
-    a named subtree) for initializing the frozen proposal net in stage 2."""
+    """Restore a stage-1 (GSPN) checkpoint's params (optionally a named
+    subtree) for initializing the frozen proposal net in stage 2.
+
+    ``abstract_state`` may be a full abstract TrainState or just a dict
+    with a ``params`` entry — only the params collection is read, so the
+    optimizer the stage-1 trainer used is irrelevant."""
+    ap = (
+        abstract_state.params
+        if hasattr(abstract_state, "params")
+        else abstract_state["params"]
+    )
     mgr = CheckpointManager(ckpt_dir)
-    state = mgr.restore(abstract_state)
+    restored = mgr.restore_params({"params": ap})
     mgr.close()
-    if state is None:
+    if restored is None:
         raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
-    params = state.params if hasattr(state, "params") else state["params"]
+    params = restored["params"]
     if subtree:
         params = params[subtree]
     return params

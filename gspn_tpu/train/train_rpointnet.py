@@ -135,18 +135,23 @@ def main(argv=None):
             key, first["xyz"], sidx, features=feats0, valid=first["valid"],
             gt_points=gp, gt_valid=gv, z_rng=key, train=False,
         )
+        # params/batch_stats only: agnostic to the stage-1 optimizer's
+        # opt_state structure (constant lr vs schedule-wrapped adam)
         abstract = jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-            TrainState.create(gvars, optax.adam(1e-3)),
+            {
+                "params": gvars["params"],
+                "batch_stats": gvars.get("batch_stats", {}),
+            },
         )
         mgr = CM(args.gspn_ckpt)
-        restored = mgr.restore(abstract)
+        restored = mgr.restore_params(abstract)
         mgr.close()
         if restored is None:
             raise FileNotFoundError(f"no stage-1 ckpt in {args.gspn_ckpt}")
         frozen_vars = {
-            "params": restored.params,
-            "batch_stats": restored.batch_stats,
+            "params": restored["params"],
+            "batch_stats": restored["batch_stats"],
         }
         frozen = (gmodel, frozen_vars, args.num_seeds)
         print(f"loaded frozen GSPN from {args.gspn_ckpt}")

@@ -180,3 +180,43 @@ def test_compact_instance_ids_overflow_falls_back():
     out, k = native.compact_instance_ids(inst)
     assert k == 5999
     np.testing.assert_array_equal(out, np.repeat(np.arange(1, 6000), 2))
+
+
+def test_stage2_and_eval_restore_schedule_trained_ckpt(tmp_path):
+    """Regression: a stage-1 checkpoint trained WITH an lr schedule has a
+    different opt_state pytree than constant-lr adam; frozen-GSPN restore
+    in stage 2 and eval restore must be agnostic to it (params-only
+    partial restore)."""
+    from gspn_tpu.eval import run_eval
+    from gspn_tpu.train import train_gspn, train_rpointnet
+
+    train_gspn.main(
+        TINY_ARGS
+        + [
+            "--log-dir", str(tmp_path / "s1"),
+            "--lr-schedule", "exp", "--lr-decay-steps", "3", "--bn-decay",
+        ]
+    )
+    s2_args = [
+        "--steps", "6", "--batch", "2", "--num-points", "128",
+        "--num-seeds", "8", "--max-instances", "4", "--num-classes", "3",
+        "--preset", "tiny", "--log-every", "100", "--ckpt-every", "3",
+    ]
+    state2 = train_rpointnet.main(
+        s2_args
+        + [
+            "--log-dir", str(tmp_path / "s2"),
+            "--gspn-ckpt", str(tmp_path / "s1" / "ckpt"),
+            "--lr-schedule", "cosine",
+        ]
+    )
+    assert int(state2.step) == 6
+    res = run_eval.main(
+        [
+            "--gspn-ckpt", str(tmp_path / "s1" / "ckpt"),
+            "--rpointnet-ckpt", str(tmp_path / "s2" / "ckpt"),
+            "--num-scenes", "2", "--batch", "2", "--num-points", "128",
+            "--num-seeds", "8", "--num-classes", "3", "--preset", "tiny",
+        ]
+    )
+    assert set(res) >= {"ap", "ap_50", "ap_25"}
