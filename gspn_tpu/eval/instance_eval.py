@@ -183,10 +183,12 @@ def evaluate_instances(
                             y_true.append(0)
                             y_score.append(s)
                         used[above] = True
+                    # every above-threshold pred was consumed by the GT
+                    # loop, so the remaining unused preds have no
+                    # above-threshold overlap with any GT (the official
+                    # evaluator's found_gt re-check is vacuous here)
                     for a in range(len(plist)):
-                        if used[a] or (
-                            iou[a].size and float(iou[a].max()) > ov
-                        ):
+                        if used[a]:
                             continue
                         sc, pm = plist[a]
                         if void_forgive:

@@ -19,6 +19,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+# The single source of truth for the model-level BatchNorm momentum. The
+# trainers' bn-decay reblend (train/schedules.py, train/steps.py) must
+# invert exactly this value to recover raw batch statistics — import it
+# there rather than repeating the literal.
+BN_MOMENTUM = 0.9
+
 
 class MaskedBatchNorm(nn.Module):
     """Batch norm over all non-channel axes with optional validity mask.
@@ -27,7 +33,7 @@ class MaskedBatchNorm(nn.Module):
     stats); ``momentum`` plays the role of the reference's ``bn_decay``.
     """
 
-    momentum: float = 0.9
+    momentum: float = BN_MOMENTUM
     epsilon: float = 1e-3  # TF1 batch_norm default, as tf_util used it
     dtype: Any = jnp.float32
 
@@ -75,7 +81,7 @@ class PointMLP(nn.Module):
 
     features: Sequence[int]
     use_bn: bool = True
-    bn_momentum: float = 0.9
+    bn_momentum: float = BN_MOMENTUM
     last_activation: bool = True
     dtype: Any = jnp.float32
 

@@ -215,13 +215,20 @@ class PointNetFPModule(nn.Module):
     """Feature propagation, ``pointnet_fp_module`` parity: three_nn ->
     inverse-distance interpolate -> skip concat -> unit MLP.
 
-    With ``ops_impl`` resolving to pallas (the TPU default), interpolation
-    uses the MXU sparse-matmul kernel (``ops.three_interpolate_mm`` —
-    equal to the exact path up to fp32 summation order)."""
+    ``interp`` picks the interpolation implementation explicitly:
+      - "exact": the reference-exact gather + k-ordered weighted sum;
+      - "mm": the MXU sparse-matmul kernel (``ops.three_interpolate_mm``)
+        — equal to exact up to fp32 summation order (~1 ulp), NOT
+        bit-identical; the deviation is intentional and tested
+        (tests/test_nn.py, tests/test_ops.py, tpu_smoke on-chip);
+      - "auto" (default): "mm" when ``ops_impl`` resolves to pallas (the
+        TPU production path), "exact" elsewhere.
+    """
 
     mlp: Sequence[int]
     use_bn: bool = True
     ops_impl: str = "auto"
+    interp: str = "auto"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -241,7 +248,14 @@ class PointNetFPModule(nn.Module):
         weight = ops.three_interpolate_weights(dist)
         from gspn_tpu.ops.common import resolve_impl
 
-        if resolve_impl(self.ops_impl) == "pallas":
+        if self.interp not in ("auto", "exact", "mm"):
+            raise ValueError(
+                f"interp must be auto|exact|mm, got {self.interp!r}"
+            )
+        use_mm = self.interp == "mm" or (
+            self.interp == "auto" and resolve_impl(self.ops_impl) == "pallas"
+        )
+        if use_mm:
             interp = ops.three_interpolate_mm(points2, idx, weight)
         else:
             interp = ops.three_interpolate(points2, idx, weight)

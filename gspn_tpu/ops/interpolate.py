@@ -69,7 +69,10 @@ def _three_nn_kernel(tgt_ref, src_ref, dist_ref, idx_ref, *, m: int):
         imin = jnp.minimum(imin, m - 1).astype(jnp.int32)
         dists = jnp.where(kiota == k, dmin, dists)
         idxs = jnp.where(kiota == k, imin, idxs)
-        d2 = jnp.where(iota == imin, 1e10, d2)
+        # eliminate with a sentinel ABOVE the invalid-source value so a
+        # picked 1e10 entry cannot be re-picked (degenerate scenes with
+        # < 3 valid sources must yield distinct indices, like top_k)
+        d2 = jnp.where(iota == imin, 2e10, d2)
     dist_ref[0, :, :] = dists
     idx_ref[0, :, :] = idxs
 
@@ -152,16 +155,19 @@ def _three_nn_tiled_kernel(tgt_ref, src_ref, dist_ref, idx_ref, *, m: int, mc: i
         d2 = jnp.where(
             jnp.logical_and(sv, (off + liota) < m), d2, big
         )
-        # chunk top-3 into scratch lanes 3..5 (ascending, lowest-idx ties)
+        # chunk top-3 into scratch lanes 3..5 (ascending, lowest-idx ties);
+        # eliminate picked entries with a sentinel ABOVE the invalid value
+        # so 1e10 entries are picked at most once each (distinct indices
+        # even when a chunk has < 3 valid sources)
         for k in range(3):
             dmin = jnp.min(d2, axis=1, keepdims=True)
             lmin = jnp.min(
                 jnp.where(d2 == dmin, liota, mc), axis=1, keepdims=True
             )
             gmin = (off + jnp.minimum(lmin, mc - 1)).astype(jnp.int32)
-            dbuf = jnp.where(kiota == 3 + k, dmin, dbuf)
+            dbuf = jnp.where(kiota == 3 + k, jnp.minimum(dmin, big), dbuf)
             ibuf = jnp.where(kiota == 3 + k, gmin, ibuf)
-            d2 = jnp.where(liota == lmin, big, d2)
+            d2 = jnp.where(liota == lmin, 2.0 * big, d2)
         # merge 6 candidates -> top3 (lex order by (d, global idx));
         # candidates are distinct sources, so masking by (d, i) is safe
         cand = kiota < 6
@@ -180,8 +186,10 @@ def _three_nn_tiled_kernel(tgt_ref, src_ref, dist_ref, idx_ref, *, m: int, mc: i
             iwork = jnp.where(used, mpad, iwork)
         return dnew, inew
 
+    # index sentinel mpad: at equal distance (1e10 invalid entries) the
+    # lex merge must prefer genuine source indices over the init entries
     dbuf0 = jnp.full((tn, 128), big, jnp.float32)
-    ibuf0 = jnp.zeros((tn, 128), jnp.int32)
+    ibuf0 = jnp.full((tn, 128), mpad, jnp.int32)
     dbuf, ibuf = jax.lax.fori_loop(0, mpad // mc, body, (dbuf0, ibuf0))
     dist_ref[0, :, :] = dbuf
     idx_ref[0, :, :] = jnp.minimum(ibuf, m - 1)
@@ -264,7 +272,10 @@ def _three_nn_xla_chunked(xyz1, xyz2, valid2, chunk: int = 4096):
 
     init = (
         jnp.full((b, n, 3), 1e10, jnp.float32),
-        jnp.zeros((b, n, 3), jnp.int32),
+        # index sentinel m: ties at the invalid-source distance (1e10)
+        # must prefer genuine indices over the init entries, matching the
+        # one-shot masked top_k exactly in < 3-valid-source scenes
+        jnp.full((b, n, 3), m, jnp.int32),
     )
     (dist, idx), _ = jax.lax.scan(step, init, (src_c, v_c, offs))
     return dist, jnp.minimum(idx, m - 1)

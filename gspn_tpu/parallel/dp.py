@@ -22,7 +22,7 @@ def make_dp_train_step(
     mesh: Mesh,
     axis: str = "data",
     bn_momentum_fn=None,
-    model_bn_momentum: float = 0.9,
+    model_bn_momentum: float | None = None,  # default: nn.layers.BN_MOMENTUM
 ):
     """loss_fn(params, batch_stats, batch, rng) -> jitted SPMD
     step(state, batch, rng) -> (state, metrics).
@@ -30,8 +30,14 @@ def make_dp_train_step(
     ``batch`` leading dims must be divisible by the mesh size; ``rng`` is a
     single key, decorrelated per shard with ``fold_in(axis_index)``.
     ``bn_momentum_fn``: optional dynamic BN-momentum schedule, applied to
-    the pmean-ed batch stats (see ``gspn_tpu.train.schedules``).
+    the pmean-ed batch stats (see ``gspn_tpu.train.schedules``);
+    ``model_bn_momentum`` defaults to the shared ``nn.layers.BN_MOMENTUM``.
     """
+    from gspn_tpu.nn.layers import BN_MOMENTUM
+
+    _model_bn_momentum = (
+        BN_MOMENTUM if model_bn_momentum is None else model_bn_momentum
+    )
 
     def shard_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
@@ -46,7 +52,7 @@ def make_dp_train_step(
 
             new_stats = reblend_batch_stats(
                 state.batch_stats, new_stats,
-                bn_momentum_fn(state.step), model_bn_momentum,
+                bn_momentum_fn(state.step), _model_bn_momentum,
             )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

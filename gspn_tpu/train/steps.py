@@ -204,7 +204,7 @@ def make_train_step(
     loss_fn,
     tx: optax.GradientTransformation,
     bn_momentum_fn=None,
-    model_bn_momentum: float = 0.9,
+    model_bn_momentum: float | None = None,  # default: nn.layers.BN_MOMENTUM
 ):
     """loss_fn(params, batch_stats, batch, rng) -> jitted
     step(state, batch, rng) -> (state, metrics).
@@ -212,7 +212,14 @@ def make_train_step(
     bn_momentum_fn: optional ``step -> momentum`` schedule (the reference's
     dynamic ``bn_decay``); the mutated batch_stats are exactly re-blended
     from the model's static momentum to the scheduled one (see
-    ``gspn_tpu.train.schedules``)."""
+    ``gspn_tpu.train.schedules``). ``model_bn_momentum`` must equal the
+    momentum the model's BatchNorm layers actually applied; it defaults
+    to the shared ``nn.layers.BN_MOMENTUM`` constant."""
+    from gspn_tpu.nn.layers import BN_MOMENTUM
+
+    _model_bn_momentum = (
+        BN_MOMENTUM if model_bn_momentum is None else model_bn_momentum
+    )
 
     @jax.jit
     def step(state: TrainState, batch, rng):
@@ -224,7 +231,7 @@ def make_train_step(
 
             new_stats = reblend_batch_stats(
                 state.batch_stats, new_stats,
-                bn_momentum_fn(state.step), model_bn_momentum,
+                bn_momentum_fn(state.step), _model_bn_momentum,
             )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)

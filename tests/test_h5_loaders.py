@@ -27,12 +27,20 @@ def test_shapenet_loader(tmp_path, rng):
     # sampled objects are normalized: max |coord| == 1 (subsampling keeps
     # the bound only when num_points == n, hence 128 here)
     assert np.isclose(np.abs(batch["xyz"]).max(axis=(1, 2)), 1.0).all()
-    # streamed rows match the raw file content after per-object normalize
+    # streamed rows are the raw file content (normalize is sample-time)
     obj = ds._read_rows(np.asarray([7]))[0]
-    want = data[7] - data[7].mean(axis=0, keepdims=True)
     np.testing.assert_allclose(obj, data[7], rtol=1e-6)
-    norm = want / np.maximum(np.abs(want).max(), 1e-9)
-    assert norm.shape == obj.shape
+    # and sample-time normalization matches the hand computation exactly:
+    # replay the rng draws (object pick, column shuffle) next to the loader
+    picked = ds.sample_batch(np.random.default_rng(11), 1)
+    replay = np.random.default_rng(11)
+    i0 = int(replay.integers(0, len(ds), 1)[0])
+    want = data[i0] - data[i0].mean(axis=0, keepdims=True)
+    want = want / np.maximum(np.abs(want).max(), 1e-9)
+    cols = replay.choice(128, 128, replace=False)
+    np.testing.assert_allclose(
+        picked["xyz"][0], want[cols].astype(np.float32), rtol=1e-6
+    )
 
     cat = int(label[0])
     ds_cat = ShapeNetObjects(str(tmp_path), num_points=64, category=cat)

@@ -150,3 +150,27 @@ def test_gradients_flow_through_sa_fp(rng):
     leaves = jax.tree_util.tree_leaves((gs["params"], gf["params"]))
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     assert any(np.any(np.asarray(l) != 0) for l in leaves)
+
+
+def test_fp_module_mm_matches_exact(rng):
+    """The MXU interpolation path ("mm", the TPU production default) must
+    match the reference-exact path within fp32 summation-order tolerance,
+    masked and unmasked — the documented, intentional deviation from
+    bit-exactness (see PointNetFPModule.interp)."""
+    import numpy as np
+
+    xyz1, skip = cloud(rng, 2, 96, 8)
+    xyz2, feats = cloud(rng, 2, 24, 16)
+    valid2 = jnp.asarray(np.random.default_rng(5).random((2, 24)) > 0.3)
+    for v2 in (None, valid2):
+        exact = gnn.PointNetFPModule(mlp=(32, 32), interp="exact")
+        mm = gnn.PointNetFPModule(mlp=(32, 32), interp="mm")
+        vars_ = exact.init(
+            jax.random.PRNGKey(0), xyz1, xyz2, skip, feats, None, v2,
+            train=False,
+        )
+        a = exact.apply(vars_, xyz1, xyz2, skip, feats, None, v2, train=False)
+        b = mm.apply(vars_, xyz1, xyz2, skip, feats, None, v2, train=False)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=3e-6
+        )

@@ -77,3 +77,41 @@ def test_three_nn_dispatch_large_m(rng):
     np.testing.assert_allclose(
         np.asarray(d1), np.asarray(d2), rtol=3e-7, atol=1e-8
     )
+
+
+@pytest.mark.parametrize("n_valid", [0, 1, 2])
+def test_degenerate_few_valid_sources_all_paths(rng, n_valid):
+    """Scenes with fewer than 3 valid sources must still yield DISTINCT
+    indices matching the masked top_k reference (lowest-index ties at the
+    invalid-source distance) in every implementation path. Regression for
+    the in-chunk elimination sentinel colliding with the invalid value."""
+    b, n, m = 1, 40, 2500  # m > one 2048 chunk -> exercises tiled + scan
+    xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    xyz2 = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
+    v = np.zeros((b, m), bool)
+    picks = [1234, 2101][: max(n_valid, 0)][:n_valid]
+    for p in picks:
+        v[:, p] = True
+    valid2 = jnp.asarray(v)
+
+    want_d, want_i = _reference(xyz1, xyz2, valid2)
+    td, ti = _three_nn_pallas_tiled(xyz1, xyz2, valid2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ti), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(td), np.asarray(want_d), rtol=1e-6)
+    cd, ci = _three_nn_xla_chunked(xyz1, xyz2, valid2, chunk=1024)
+    np.testing.assert_array_equal(np.asarray(ci), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(cd), np.asarray(want_d), rtol=1e-6)
+
+    # single-shot kernel path (m <= 2048)
+    from gspn_tpu.ops.interpolate import _three_nn_pallas
+
+    m2 = 600
+    xyz2s = xyz2[:, :m2]
+    v2 = np.zeros((b, m2), bool)
+    for p in [123, 401][:n_valid]:
+        v2[:, p] = True
+    v2 = jnp.asarray(v2)
+    want_d, want_i = _reference(xyz1, xyz2s, v2)
+    sd, si = _three_nn_pallas(xyz1, xyz2s, v2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(want_i))
+    np.testing.assert_allclose(np.asarray(sd), np.asarray(want_d), rtol=1e-6)
