@@ -100,9 +100,16 @@ def make_inference_fn(cfg: PipelineConfig):
 
     def infer(variables, xyz, features=None, valid=None, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        seed_idx = ops.farthest_point_sample(
-            cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl
+        # Greedy FPS is prefix-consistent: fps(k) == fps(n)[:, :k] for
+        # k <= n on the same masked point set, so ONE sampling pass serves
+        # both the proposal seeds and the backbone's first SA layer.
+        sa1_n = cfg.rpointnet.sa_layers[0].npoint
+        n_fps = max(cfg.num_seeds, sa1_n)
+        fps_all = ops.farthest_point_sample(
+            n_fps, xyz, valid, impl=cfg.gspn.ops_impl
         )
+        seed_idx = fps_all[:, : cfg.num_seeds]
+        sa1_idx = fps_all[:, :sa1_n]
         gout = gspn.apply(
             variables["gspn"],
             xyz,
@@ -120,7 +127,7 @@ def make_inference_fn(cfg: PipelineConfig):
 
         out = rpn.apply(
             variables["rpointnet"], xyz, boxes, features=features,
-            valid=valid, train=False,
+            valid=valid, train=False, sa1_fps_idx=sa1_idx,
         )
         cls_prob = jax.nn.softmax(out.cls_logits, axis=-1)
         fg_prob = cls_prob[..., 1:]  # drop background column

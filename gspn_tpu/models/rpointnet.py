@@ -99,7 +99,14 @@ class Backbone(nn.Module):
     config: RPointNetConfig
 
     @nn.compact
-    def __call__(self, xyz, features=None, valid=None, train: bool = False):
+    def __call__(
+        self,
+        xyz,
+        features=None,
+        valid=None,
+        train: bool = False,
+        sa1_fps_idx=None,
+    ):
         cfg = self.config
         # static_argnums index includes self (0); `train` is positional
         SA = (
@@ -123,7 +130,7 @@ class Backbone(nn.Module):
                 ops_impl=cfg.ops_impl,
                 dtype=cfg.dtype,
                 name=f"sa{i + 1}",
-            )(xs[-1], fs[-1], vs[-1], train)
+            )(xs[-1], fs[-1], vs[-1], train, sa1_fps_idx if i == 0 else None)
             xs.append(nx)
             fs.append(nf)
             vs.append(nv)
@@ -322,10 +329,18 @@ class RPointNet(nn.Module):
 
     @nn.compact
     def __call__(
-        self, xyz, boxes, features=None, valid=None, train: bool = False
+        self,
+        xyz,
+        boxes,
+        features=None,
+        valid=None,
+        train: bool = False,
+        sa1_fps_idx=None,  # precomputed FPS prefix for the first SA layer
     ) -> RoIOutputs:
         cfg = self.config
-        feat = Backbone(cfg, name="backbone")(xyz, features, valid, train)
+        feat = Backbone(cfg, name="backbone")(
+            xyz, features, valid, train, sa1_fps_idx
+        )
         if cfg.roi_sample == "grid":
             # reference-faithful: free grid points + three_nn interpolation
             world, canon = roi_grid_points(boxes, cfg.roi_samples)

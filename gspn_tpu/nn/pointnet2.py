@@ -35,13 +35,19 @@ def sample_and_group(
     use_knn: bool = False,
     use_xyz: bool = True,
     impl: str = "auto",
+    fps_idx=None,
 ):
     """FPS -> gather -> ball query (or kNN) -> group -> center local coords.
+
+    ``fps_idx`` (B, npoint): precomputed FPS indices to reuse (greedy FPS
+    is prefix-consistent, so one fps(max_n) call can serve several
+    consumers via slicing — see ``models/pipeline.py``).
 
     Returns (new_xyz (B,P,3), new_points (B,P,K,C'), idx (B,P,K),
     grouped_xyz (B,P,K,3) local frame, pts_cnt (B,P)).
     """
-    fps_idx = ops.farthest_point_sample(npoint, xyz, valid, impl=impl)
+    if fps_idx is None:
+        fps_idx = ops.farthest_point_sample(npoint, xyz, valid, impl=impl)
     new_xyz = ops.gather_point(xyz, fps_idx)
     if use_knn:
         _, idx = ops.knn_point(nsample, xyz, new_xyz, valid)
@@ -99,8 +105,13 @@ class PointNetSAModule(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, xyz, points=None, valid=None, train: bool = False):
-        """Returns (new_xyz (B,P,3), new_points (B,P,C_out), new_valid)."""
+    def __call__(
+        self, xyz, points=None, valid=None, train: bool = False, fps_idx=None
+    ):
+        """Returns (new_xyz (B,P,3), new_points (B,P,C_out), new_valid).
+
+        ``fps_idx``: optional precomputed (B, npoint) FPS indices (see
+        ``sample_and_group``)."""
         if self.group_all:
             new_xyz, new_points, _, grouped_xyz = sample_and_group_all(
                 xyz, points, self.use_xyz
@@ -120,6 +131,7 @@ class PointNetSAModule(nn.Module):
                 self.use_knn,
                 self.use_xyz,
                 self.ops_impl,
+                fps_idx,
             )
             # Parity note: groups are self-padded by replicate-first, so no
             # group mask is needed for "max" (the reference relies on this).

@@ -312,3 +312,22 @@ def test_three_interpolate_mm_chunked_sources(rng):
     a = np.asarray(ops.three_interpolate(pts, idx, w))
     bb = np.asarray(ops.three_interpolate_mm(pts, idx, w))
     np.testing.assert_allclose(a, bb, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_fps_prefix_consistency(rng, impl, masked):
+    """Greedy FPS is prefix-consistent: fps(k) == fps(n)[:, :k]. The fused
+    pipeline relies on this to serve proposal seeds and the backbone's
+    first SA layer from ONE sampling pass."""
+    b, n = 2, 300
+    xyz = jnp.asarray(cloud(rng, b, n))
+    valid = (
+        jnp.asarray(rng.random((b, n)) > 0.2) if masked else None
+    )
+    big = np.asarray(ops.farthest_point_sample(64, xyz, valid, impl=impl))
+    for k in (1, 7, 32, 64):
+        small = np.asarray(
+            ops.farthest_point_sample(k, xyz, valid, impl=impl)
+        )
+        np.testing.assert_array_equal(small, big[:, :k])
