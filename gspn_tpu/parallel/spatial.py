@@ -49,10 +49,15 @@ def make_spatial_inference(cfg: PipelineConfig, mesh: Mesh, axis: str = "space")
     def shard_fn(variables, xyz, features, valid, z_eps):
         i = jax.lax.axis_index(axis)
         # seeds: FPS is global+sequential -> computed replicated (cheap),
-        # each shard takes its slice of seeds
-        seed_idx = ops.farthest_point_sample(
-            cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl
+        # each shard takes its slice of seeds. Shared with the backbone's
+        # first SA layer via FPS prefix-consistency, exactly as the
+        # single-device pipeline does (bit-identity depends on it).
+        sa1_n = cfg.rpointnet.sa_layers[0].npoint
+        fps_all = ops.farthest_point_sample(
+            max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl
         )
+        seed_idx = fps_all[:, : cfg.num_seeds]
+        sa1_idx = fps_all[:, :sa1_n]
         my_seeds = jax.lax.dynamic_slice_in_dim(seed_idx, i * per, per, axis=1)
         my_eps = jax.lax.dynamic_slice_in_dim(z_eps, i * per, per, axis=1)
 
@@ -86,6 +91,7 @@ def make_spatial_inference(cfg: PipelineConfig, mesh: Mesh, axis: str = "space")
             features=features,
             valid=valid,
             train=False,
+            sa1_fps_idx=sa1_idx,
         )
         cls_prob = jax.nn.softmax(out.cls_logits, axis=-1)
         fg_prob = cls_prob[..., 1:]
