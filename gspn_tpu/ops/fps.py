@@ -165,6 +165,15 @@ def _fps_pallas(xyz: jax.Array, npoint: int, valid: jax.Array | None, interpret:
         v = v.at[:b, :n].set(valid.astype(jnp.float32))
 
     spec = pl.BlockSpec((rows, npad), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    # whole-scene rows (npad = 64k+) put ~13 MB of live (ROWS, Npad)
+    # buffers on the kernel stack; raise the scoped-vmem cap above the
+    # 16 MB compiler default (v5e VMEM is far larger) when needed
+    need = rows * npad * 4 * 12 + (4 << 20)
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=min(need, 100 * 1024 * 1024))
+        if need > 16 * 1024 * 1024
+        else None
+    )
     out = pl.pallas_call(
         functools.partial(_fps_kernel, npoint=npoint, n=n),
         grid=(bpad // rows,),
@@ -174,6 +183,7 @@ def _fps_pallas(xyz: jax.Array, npoint: int, valid: jax.Array | None, interpret:
         ),
         out_shape=jax.ShapeDtypeStruct((bpad, kpad), jnp.int32),
         interpret=interpret,
+        **({"compiler_params": params} if params is not None else {}),
     )(planes[0], planes[1], planes[2], v)
     return out[:b, :npoint]
 
