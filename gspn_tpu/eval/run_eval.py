@@ -20,7 +20,6 @@ import pathlib
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from gspn_tpu.data import synthetic
 from gspn_tpu.eval import instance_eval as ie
@@ -32,7 +31,6 @@ from gspn_tpu.models.pipeline import (
 )
 from gspn_tpu.models.rpointnet import RPointNetConfig
 from gspn_tpu.train.checkpoint import CheckpointManager
-from gspn_tpu.train.steps import TrainState
 
 
 def parse_args(argv=None):
@@ -109,7 +107,6 @@ def main(argv=None):
             score_thresh=args.score_thresh,
         )
     key = jax.random.PRNGKey(args.seed)
-    tx = optax.adam(1e-3)
 
     # data source — each batches() call creates its own rng so probing
     # shapes below does not perturb the evaluated scene stream
