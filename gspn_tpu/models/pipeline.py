@@ -102,14 +102,23 @@ def make_inference_fn(cfg: PipelineConfig):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         # Greedy FPS is prefix-consistent: fps(k) == fps(n)[:, :k] for
         # k <= n on the same masked point set, so ONE sampling pass serves
-        # both the proposal seeds and the backbone's first SA layer.
+        # both the proposal seeds and the backbone's first SA layer —
+        # but only when both stages use the same impl (backends may
+        # diverge by one-ULP tie flips; training-time sa1 samples with
+        # rpointnet.ops_impl, so a shared pass from a different impl
+        # would skew inference vs training).
         sa1_n = cfg.rpointnet.sa_layers[0].npoint
-        n_fps = max(cfg.num_seeds, sa1_n)
-        fps_all = ops.farthest_point_sample(
-            n_fps, xyz, valid, impl=cfg.gspn.ops_impl
-        )
-        seed_idx = fps_all[:, : cfg.num_seeds]
-        sa1_idx = fps_all[:, :sa1_n]
+        if cfg.gspn.ops_impl == cfg.rpointnet.ops_impl:
+            fps_all = ops.farthest_point_sample(
+                max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl
+            )
+            seed_idx = fps_all[:, : cfg.num_seeds]
+            sa1_idx = fps_all[:, :sa1_n]
+        else:
+            seed_idx = ops.farthest_point_sample(
+                cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl
+            )
+            sa1_idx = None  # backbone samples with its own impl
         gout = gspn.apply(
             variables["gspn"],
             xyz,

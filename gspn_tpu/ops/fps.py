@@ -169,8 +169,16 @@ def _fps_pallas(xyz: jax.Array, npoint: int, valid: jax.Array | None, interpret:
     # buffers on the kernel stack; raise the scoped-vmem cap above the
     # 16 MB compiler default (v5e VMEM is far larger) when needed
     need = rows * npad * 4 * 12 + (4 << 20)
+    if need > 120 * 1024 * 1024:
+        # beyond physical VMEM (v5e: 128 MiB) the kernel cannot fit;
+        # fail legibly instead of with an opaque Mosaic scoped-vmem error
+        raise ValueError(
+            f"fps pallas kernel needs ~{need >> 20} MiB VMEM at N={n} "
+            f"(rows={rows}) which exceeds the chip; use impl='xla' or "
+            "split the scene"
+        )
     params = (
-        pltpu.CompilerParams(vmem_limit_bytes=min(need, 100 * 1024 * 1024))
+        pltpu.CompilerParams(vmem_limit_bytes=need)
         if need > 16 * 1024 * 1024
         else None
     )

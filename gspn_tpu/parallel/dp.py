@@ -33,11 +33,9 @@ def make_dp_train_step(
     the pmean-ed batch stats (see ``gspn_tpu.train.schedules``);
     ``model_bn_momentum`` defaults to the shared ``nn.layers.BN_MOMENTUM``.
     """
-    from gspn_tpu.nn.layers import BN_MOMENTUM
+    from gspn_tpu.train.schedules import resolve_bn_momentum
 
-    _model_bn_momentum = (
-        BN_MOMENTUM if model_bn_momentum is None else model_bn_momentum
-    )
+    _model_bn_momentum = resolve_bn_momentum(model_bn_momentum)
 
     def shard_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))

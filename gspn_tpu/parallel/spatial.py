@@ -53,11 +53,17 @@ def make_spatial_inference(cfg: PipelineConfig, mesh: Mesh, axis: str = "space")
         # first SA layer via FPS prefix-consistency, exactly as the
         # single-device pipeline does (bit-identity depends on it).
         sa1_n = cfg.rpointnet.sa_layers[0].npoint
-        fps_all = ops.farthest_point_sample(
-            max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl
-        )
-        seed_idx = fps_all[:, : cfg.num_seeds]
-        sa1_idx = fps_all[:, :sa1_n]
+        if cfg.gspn.ops_impl == cfg.rpointnet.ops_impl:
+            fps_all = ops.farthest_point_sample(
+                max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl
+            )
+            seed_idx = fps_all[:, : cfg.num_seeds]
+            sa1_idx = fps_all[:, :sa1_n]
+        else:
+            seed_idx = ops.farthest_point_sample(
+                cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl
+            )
+            sa1_idx = None  # backbone samples with its own impl
         my_seeds = jax.lax.dynamic_slice_in_dim(seed_idx, i * per, per, axis=1)
         my_eps = jax.lax.dynamic_slice_in_dim(z_eps, i * per, per, axis=1)
 

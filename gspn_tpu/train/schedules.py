@@ -24,6 +24,15 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from gspn_tpu.nn.layers import BN_MOMENTUM
+
+
+def resolve_bn_momentum(model_bn_momentum=None) -> float:
+    """The momentum the model's BatchNorm layers actually applied —
+    defaults to the shared ``nn.layers.BN_MOMENTUM`` so the exact
+    re-blend in the train steps cannot drift from the layers."""
+    return BN_MOMENTUM if model_bn_momentum is None else model_bn_momentum
+
 
 def build_lr_schedule(args) -> optax.Schedule | float:
     """Learning-rate schedule from trainer CLI flags.

@@ -21,6 +21,7 @@ import optax
 from gspn_tpu import ops
 from gspn_tpu.data.instances import gather_seed_instances
 from gspn_tpu.models.gspn import GSPN, gspn_loss, proposal_boxes
+from gspn_tpu.train.schedules import resolve_bn_momentum
 from gspn_tpu.models.rpointnet import (
     RPointNet,
     instance_gt_boxes,
@@ -215,11 +216,7 @@ def make_train_step(
     ``gspn_tpu.train.schedules``). ``model_bn_momentum`` must equal the
     momentum the model's BatchNorm layers actually applied; it defaults
     to the shared ``nn.layers.BN_MOMENTUM`` constant."""
-    from gspn_tpu.nn.layers import BN_MOMENTUM
-
-    _model_bn_momentum = (
-        BN_MOMENTUM if model_bn_momentum is None else model_bn_momentum
-    )
+    _model_bn_momentum = resolve_bn_momentum(model_bn_momentum)
 
     @jax.jit
     def step(state: TrainState, batch, rng):

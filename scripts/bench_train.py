@@ -35,7 +35,6 @@ def main():
     args = ap.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
-    import dataclasses
 
     from gspn_tpu import ops
     from gspn_tpu.data import synthetic

@@ -72,6 +72,14 @@ def main():
     assert bool(jnp.all(jnp.abs(td - xd) <= 1e-6 + 3e-7 * jnp.abs(xd)))
     print(f"tiled three_nn (M={n} sources): pallas==xla")
 
+    # degenerate masks: < 3 valid sources must give distinct top_k-equal
+    # indices on the REAL chip too (Mosaic accepts less than interpret)
+    vdeg = jnp.zeros((b, n), bool).at[:, 1234].set(True)
+    dd, di2 = ops.three_nn(xyz[:, :512], xyz, vdeg, impl="pallas", interpret=False)
+    xd2, xi2d = ops.three_nn(xyz[:, :512], xyz, vdeg, impl="xla")
+    assert bool(jnp.all(di2 == xi2d)), "degenerate-mask three_nn idx mismatch"
+    print("three_nn degenerate mask (1 valid source): pallas==xla")
+
     # --- MXU sparse-matmul interpolation vs exact gather path
     feats = jax.random.normal(jax.random.PRNGKey(3), (b, n, 64), jnp.float32)
     w = ops.three_interpolate_weights(td)
