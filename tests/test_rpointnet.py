@@ -172,3 +172,41 @@ def test_rpointnet_training_reduces_loss(rng):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.85, losses
+
+
+def test_remat_backbone_with_shared_fps_idx(rng):
+    """cfg.remat=True must accept the threaded sa1_fps_idx (the remat
+    wrapper's static_argnums indexes `train`; fps_idx rides after it) and
+    stay differentiable."""
+    import jax
+    import numpy as np
+
+    from gspn_tpu import ops
+
+    cfg = rp.RPointNetConfig(
+        sa_layers=(
+            rp.SALayerSpec(32, 0.4, 8, (8, 16)),
+            rp.SALayerSpec(8, 0.8, 8, (16, 16)),
+        ),
+        fp_mlps=((16,), (16, 16)),
+        roi_samples=8, roi_mlp=(16,), cls_fc=(16,), box_fc=(16,),
+        mask_mlp=(16,), num_classes=3, remat=True,
+    )
+    m = rp.RPointNet(cfg)
+    xyz = jnp.asarray(rng.uniform(-1, 1, (2, 128, 3)).astype(np.float32))
+    boxes = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0]), (2, 4, 1))
+    v = m.init(jax.random.PRNGKey(0), xyz, boxes, train=False)
+    fi = ops.farthest_point_sample(32, xyz)
+    out = m.apply(v, xyz, boxes, train=False, sa1_fps_idx=fi)
+    assert out.cls_logits.shape == (2, 4, 4)
+
+    def loss(p):
+        o = m.apply(
+            {"params": p, "batch_stats": v["batch_stats"]},
+            xyz, boxes, train=False, sa1_fps_idx=fi,
+        )
+        return jnp.sum(o.cls_logits)
+
+    g = jax.grad(loss)(v["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()
