@@ -461,7 +461,13 @@ def three_interpolate_mm(
     order (the matmul accumulates the 3 terms in source order rather than
     neighbor-rank order) — within 1-2 ulp, not bit-identical. Gradient is
     the exact scatter-add/inner-product pair via custom_vjp.
+
+    Source sets too large for the kernel's resident (Mpad, Cpad) VMEM
+    block fall back to the exact gather path.
     """
+    m, c = points.shape[1], points.shape[2]
+    if round_up(m, 128) * round_up(c, 128) * 4 > 8 * 1024 * 1024:
+        return three_interpolate(points, idx, weight)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _three_interpolate_mm(points, idx, weight, interpret)
