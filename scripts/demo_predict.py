@@ -66,9 +66,6 @@ def main(argv=None):
     )
     from gspn_tpu.models.rpointnet import RPointNetConfig
     from gspn_tpu.train.checkpoint import CheckpointManager
-    from gspn_tpu.train.steps import TrainState
-
-    import optax
 
     cfg = PipelineConfig(
         gspn=GSPNConfig(),
@@ -90,19 +87,23 @@ def main(argv=None):
         )
 
     variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), args.num_points)
-    tx = optax.adam(1e-3)
     for name, ckpt in (("gspn", args.gspn_ckpt), ("rpointnet", args.rpointnet_ckpt)):
         if ckpt:
+            # params-only partial restore: agnostic to the trainer's
+            # optimizer/schedule (their opt_state pytrees differ)
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                TrainState.create(variables[name], tx),
+                {
+                    "params": variables[name]["params"],
+                    "batch_stats": variables[name].get("batch_stats", {}),
+                },
             )
             mgr = CheckpointManager(ckpt)
-            restored = mgr.restore(abstract)
+            restored = mgr.restore_params(abstract)
             mgr.close()
             variables[name] = {
-                "params": restored.params,
-                "batch_stats": restored.batch_stats,
+                "params": restored["params"],
+                "batch_stats": restored["batch_stats"],
             }
 
     infer = jax.jit(make_inference_fn(cfg))
