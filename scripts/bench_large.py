@@ -63,6 +63,21 @@ def main():
         lambda a, b: query_ball_group_multi((0.4,), (32,), a, b, validj),
         xyz, q,
     )
+    # Morton-sorted variant: spatially local chunks + sorted queries make
+    # the ball-group kernel's exact AABB pruning skip most of the 128
+    # chunks per tile (the payoff regime for ops.morton at whole-scene N)
+    perm = ops.spatial_order(xyz, validj)
+    sxyz = ops.apply_order(perm, xyz)
+    svalid = ops.apply_order(perm, validj)
+    sq = ops.gather_point(
+        sxyz, jnp.sort(ops.farthest_point_sample(1024, sxyz, svalid), axis=-1)
+    )
+    bench(
+        f"ball fused +coords, Morton-sorted scene",
+        lambda a, b: query_ball_group_multi((0.4,), (32,), a, b, svalid),
+        sxyz, sq,
+    )
+
     bench(
         f"three_nn tiled (N={N} <- M=1024)",
         lambda a, b: ops.three_nn(a, b), xyz, q,
