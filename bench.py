@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 B, N = 8, 8192
-WARMUP, ITERS = 3, 20
+WARMUP, ITERS = 3, 30
 
 
 def _host_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
