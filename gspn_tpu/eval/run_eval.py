@@ -30,7 +30,7 @@ from gspn_tpu.models.pipeline import (
     make_inference_fn,
 )
 from gspn_tpu.models.rpointnet import RPointNetConfig
-from gspn_tpu.train.checkpoint import CheckpointManager
+from gspn_tpu.train.checkpoint import restore_variable_collections
 
 
 def parse_args(argv=None):
@@ -151,24 +151,9 @@ def main(argv=None):
     for name, ckpt in (("gspn", args.gspn_ckpt), ("rpointnet", args.rpointnet_ckpt)):
         if ckpt:
             _check_ckpt_feature_dim(ckpt, name, fdim)
-            # params/batch_stats only — eval must not depend on which
-            # optimizer/lr schedule the trainer used (opt_state differs)
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                {
-                    "params": variables[name]["params"],
-                    "batch_stats": variables[name].get("batch_stats", {}),
-                },
+            variables[name] = restore_variable_collections(
+                ckpt, variables[name]
             )
-            mgr = CheckpointManager(ckpt)
-            restored = mgr.restore_params(abstract)
-            mgr.close()
-            if restored is None:
-                raise FileNotFoundError(f"no checkpoint under {ckpt}")
-            variables[name] = {
-                "params": restored["params"],
-                "batch_stats": restored["batch_stats"],
-            }
             print(f"restored {name} from {ckpt}")
 
     import time as _time

@@ -91,6 +91,27 @@ def project_roi_masks(
     return jnp.logical_and(inside, jax.nn.sigmoid(logit) > mask_thresh)
 
 
+def shared_fps_indices(cfg: PipelineConfig, xyz, valid):
+    """(seed_idx, sa1_fps_idx-or-None): greedy FPS is prefix-consistent
+    (fps(k) == fps(n)[:, :k] on the same masked point set), so ONE
+    sampling pass serves both the proposal seeds and the backbone's first
+    SA layer — but only when both stages use the same impl (backends may
+    diverge by one-ULP tie flips; training-time sa1 samples with
+    rpointnet.ops_impl, so a shared pass from a different impl would skew
+    inference vs training). Used by the fused pipeline and the
+    spatially-sharded variant, which must stay bit-identical."""
+    sa1_n = cfg.rpointnet.sa_layers[0].npoint
+    if cfg.gspn.ops_impl == cfg.rpointnet.ops_impl:
+        fps_all = ops.farthest_point_sample(
+            max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl
+        )
+        return fps_all[:, : cfg.num_seeds], fps_all[:, :sa1_n]
+    seed_idx = ops.farthest_point_sample(
+        cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl
+    )
+    return seed_idx, None  # backbone samples with its own impl
+
+
 def make_inference_fn(cfg: PipelineConfig):
     """Returns ``infer(variables, xyz, features, valid, rng) ->
     InstancePredictions`` where ``variables`` is a dict with 'gspn' and
@@ -100,25 +121,7 @@ def make_inference_fn(cfg: PipelineConfig):
 
     def infer(variables, xyz, features=None, valid=None, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        # Greedy FPS is prefix-consistent: fps(k) == fps(n)[:, :k] for
-        # k <= n on the same masked point set, so ONE sampling pass serves
-        # both the proposal seeds and the backbone's first SA layer —
-        # but only when both stages use the same impl (backends may
-        # diverge by one-ULP tie flips; training-time sa1 samples with
-        # rpointnet.ops_impl, so a shared pass from a different impl
-        # would skew inference vs training).
-        sa1_n = cfg.rpointnet.sa_layers[0].npoint
-        if cfg.gspn.ops_impl == cfg.rpointnet.ops_impl:
-            fps_all = ops.farthest_point_sample(
-                max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl
-            )
-            seed_idx = fps_all[:, : cfg.num_seeds]
-            sa1_idx = fps_all[:, :sa1_n]
-        else:
-            seed_idx = ops.farthest_point_sample(
-                cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl
-            )
-            sa1_idx = None  # backbone samples with its own impl
+        seed_idx, sa1_idx = shared_fps_indices(cfg, xyz, valid)
         gout = gspn.apply(
             variables["gspn"],
             xyz,

@@ -26,6 +26,7 @@ from gspn_tpu.models.pipeline import (
     InstancePredictions,
     PipelineConfig,
     project_roi_masks,
+    shared_fps_indices,
 )
 from gspn_tpu.models.rpointnet import RPointNet, apply_box_deltas
 
@@ -50,20 +51,9 @@ def make_spatial_inference(cfg: PipelineConfig, mesh: Mesh, axis: str = "space")
         i = jax.lax.axis_index(axis)
         # seeds: FPS is global+sequential -> computed replicated (cheap),
         # each shard takes its slice of seeds. Shared with the backbone's
-        # first SA layer via FPS prefix-consistency, exactly as the
-        # single-device pipeline does (bit-identity depends on it).
-        sa1_n = cfg.rpointnet.sa_layers[0].npoint
-        if cfg.gspn.ops_impl == cfg.rpointnet.ops_impl:
-            fps_all = ops.farthest_point_sample(
-                max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl
-            )
-            seed_idx = fps_all[:, : cfg.num_seeds]
-            sa1_idx = fps_all[:, :sa1_n]
-        else:
-            seed_idx = ops.farthest_point_sample(
-                cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl
-            )
-            sa1_idx = None  # backbone samples with its own impl
+        # first SA layer exactly as the single-device pipeline does
+        # (bit-identity depends on it).
+        seed_idx, sa1_idx = shared_fps_indices(cfg, xyz, valid)
         my_seeds = jax.lax.dynamic_slice_in_dim(seed_idx, i * per, per, axis=1)
         my_eps = jax.lax.dynamic_slice_in_dim(z_eps, i * per, per, axis=1)
 

@@ -65,6 +65,31 @@ class CheckpointManager:
         self._mgr.close()
 
 
+def restore_variable_collections(ckpt_dir, variables):
+    """Restore ``{"params", "batch_stats"}`` shaped like ``variables``
+    from the latest checkpoint under ``ckpt_dir`` (optimizer-agnostic
+    params-only partial restore). Shared by eval, the demo, and stage-2
+    frozen-GSPN loading."""
+    import jax
+
+    abstract = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        {
+            "params": variables["params"],
+            "batch_stats": variables.get("batch_stats", {}),
+        },
+    )
+    mgr = CheckpointManager(ckpt_dir)
+    restored = mgr.restore_params(abstract)
+    mgr.close()
+    if restored is None:
+        raise FileNotFoundError(f"no checkpoint under {ckpt_dir}")
+    return {
+        "params": restored["params"],
+        "batch_stats": restored["batch_stats"],
+    }
+
+
 def load_stage1_params(ckpt_dir, abstract_state, subtree: str | None = None):
     """Restore a stage-1 (GSPN) checkpoint's params (optionally a named
     subtree) for initializing the frozen proposal net in stage 2.

@@ -122,7 +122,7 @@ def main(argv=None):
         gmodel = GSPN(gcfg)
         from gspn_tpu import ops
         from gspn_tpu.data.instances import gather_seed_instances
-        from gspn_tpu.train.checkpoint import CheckpointManager as CM
+        from gspn_tpu.train.checkpoint import restore_variable_collections
 
         sidx = ops.farthest_point_sample(
             args.num_seeds, first["xyz"], first["valid"], impl=gcfg.ops_impl
@@ -137,22 +137,7 @@ def main(argv=None):
         )
         # params/batch_stats only: agnostic to the stage-1 optimizer's
         # opt_state structure (constant lr vs schedule-wrapped adam)
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-            {
-                "params": gvars["params"],
-                "batch_stats": gvars.get("batch_stats", {}),
-            },
-        )
-        mgr = CM(args.gspn_ckpt)
-        restored = mgr.restore_params(abstract)
-        mgr.close()
-        if restored is None:
-            raise FileNotFoundError(f"no stage-1 ckpt in {args.gspn_ckpt}")
-        frozen_vars = {
-            "params": restored["params"],
-            "batch_stats": restored["batch_stats"],
-        }
+        frozen_vars = restore_variable_collections(args.gspn_ckpt, gvars)
         frozen = (gmodel, frozen_vars, args.num_seeds)
         print(f"loaded frozen GSPN from {args.gspn_ckpt}")
 

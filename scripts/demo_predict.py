@@ -57,7 +57,6 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from gspn_tpu.data import synthetic
-    from gspn_tpu.eval.run_eval import main as _unused  # noqa: F401
     from gspn_tpu.models.gspn import GSPNConfig
     from gspn_tpu.models.pipeline import (
         PipelineConfig,
@@ -65,7 +64,7 @@ def main(argv=None):
         make_inference_fn,
     )
     from gspn_tpu.models.rpointnet import RPointNetConfig
-    from gspn_tpu.train.checkpoint import CheckpointManager
+    from gspn_tpu.train.checkpoint import restore_variable_collections
 
     cfg = PipelineConfig(
         gspn=GSPNConfig(),
@@ -89,22 +88,9 @@ def main(argv=None):
     variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), args.num_points)
     for name, ckpt in (("gspn", args.gspn_ckpt), ("rpointnet", args.rpointnet_ckpt)):
         if ckpt:
-            # params-only partial restore: agnostic to the trainer's
-            # optimizer/schedule (their opt_state pytrees differ)
-            abstract = jax.tree.map(
-                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
-                {
-                    "params": variables[name]["params"],
-                    "batch_stats": variables[name].get("batch_stats", {}),
-                },
+            variables[name] = restore_variable_collections(
+                ckpt, variables[name]
             )
-            mgr = CheckpointManager(ckpt)
-            restored = mgr.restore_params(abstract)
-            mgr.close()
-            variables[name] = {
-                "params": restored["params"],
-                "batch_stats": restored["batch_stats"],
-            }
 
     infer = jax.jit(make_inference_fn(cfg))
     preds = infer(
