@@ -94,12 +94,16 @@ def evaluate_instances(
       void-overlap exclusion rule.
     - ``match``: duplicate-prediction resolution. ``"greedy"`` resolves in
       global score order (each pred takes its max-IoU unmatched GT).
-      ``"per_gt"`` is the official rule: iterate GT instances; every
-      not-yet-used prediction above the IoU threshold is consumed by that
-      GT — the highest-confidence one becomes the GT's single TP (scored
-      at that max confidence), the rest are appended as FPs at their own
-      confidences. The two differ only when two same-class predictions
-      both exceed the threshold on the same GT.
+      ``"per_gt"`` is the official rule: iterate GT instances; among
+      not-yet-matched predictions strictly above the IoU threshold, the
+      highest-confidence one becomes the GT's single TP (and only IT is
+      marked matched); the rest are appended as FPs at their own
+      confidences but stay available — a duplicate FP for one GT can
+      still become the TP of a later GT (and a never-matched duplicate is
+      appended once per GT it exceeds the threshold on), exactly as the
+      official evaluator's greedy per-GT assignment behaves when its
+      per-GT prediction lists are score-ordered. Both modes use the
+      official strict ``iou > threshold`` hit predicate.
 
     Returns dict with 'ap' (mAP 0.5:0.95), 'ap_50', 'ap_25', and
     'per_class' {class_id: {'ap': ..., 'ap_50': ..., 'ap_25': ...}}.
@@ -174,22 +178,29 @@ def evaluate_instances(
                         ]
                         if not above:
                             continue  # hard false negative (counted via n_gt)
-                        scores = sorted(
-                            (plist[a][0] for a in above), reverse=True
-                        )
+                        # plist is score-descending, so above[0] is the
+                        # max-confidence candidate: it becomes the TP and
+                        # is the ONLY one marked matched (official rule);
+                        # lower-confidence duplicates are FPs at their own
+                        # confidence but stay available for later GTs.
                         y_true.append(1)
-                        y_score.append(scores[0])
-                        for s in scores[1:]:  # duplicates become FPs
+                        y_score.append(plist[above[0]][0])
+                        used[above[0]] = True
+                        for a in above[1:]:
                             y_true.append(0)
-                            y_score.append(s)
-                        used[above] = True
-                    # every above-threshold pred was consumed by the GT
-                    # loop, so the remaining unused preds have no
-                    # above-threshold overlap with any GT (the official
-                    # evaluator's found_gt re-check is vacuous here)
+                            y_score.append(plist[a][0])
+                    # remaining unmatched preds: the official found_gt
+                    # re-check — a pred with any above-threshold overlap
+                    # was already appended as a duplicate FP in the GT
+                    # loop, so only overlap-free preds are counted here
                     for a in range(len(plist)):
                         if used[a]:
                             continue
+                        if any(
+                            iou[a, j] > ov
+                            for j in range(len(scene_gt_masks[si]))
+                        ):
+                            continue  # duplicate FP, already appended
                         sc, pm = plist[a]
                         if void_forgive:
                             size = int(pm.sum())
@@ -222,7 +233,7 @@ def evaluate_instances(
                     iou = _mask_iou(pm, gm)
                     if iou > best_iou:
                         best_iou, best_j = iou, j
-                if best_j >= 0 and best_iou >= ov:
+                if best_j >= 0 and best_iou > ov:  # official strict >
                     matched[si][best_j] = True
                     tp[ei] = 1
                 else:

@@ -466,7 +466,14 @@ def three_interpolate_mm(
     block fall back to the exact gather path.
     """
     m, c = points.shape[1], points.shape[2]
-    if round_up(m, 128) * round_up(c, 128) * 4 > 8 * 1024 * 1024:
+    # Guard on the kernel's ACTUAL resident source block: m is padded to a
+    # multiple of the chunk size mc (up to _IMC=1024), which can be ~2x
+    # round_up(m, 128) for m just above a multiple of mc. The idx/weight/
+    # output blocks are <=128-row tiles (~200 KB) — the 8 MB bound on the
+    # source block leaves them ample headroom under the 16 MB scoped-VMEM
+    # default.
+    mc = min(_IMC, round_up(m, 128))
+    if round_up(m, mc) * round_up(c, 128) * 4 > 8 * 1024 * 1024:
         return three_interpolate(points, idx, weight)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -10,8 +10,12 @@ needs every proposal's box+score, so those are ``all_gather``-ed over ICI
 stays on-shard. Outputs are sharded on the proposal axis and reassembled
 by shard_map's output specs.
 
-With pre-drawn latent noise, the sharded pipeline is bit-identical to the
-single-device pipeline (tested on the virtual CPU mesh).
+With pre-drawn latent noise, the sharded pipeline's masks, classes and
+validity are bit-identical to the single-device pipeline; scores agree to
+float tolerance (the per-shard seed slice changes the MLP batch shape, so
+XLA may pick a different matmul reduction order). Tested across every
+``mask_project`` x ``roi_sample`` config on the virtual CPU mesh
+(tests/test_spatial.py).
 """
 
 from __future__ import annotations
@@ -99,7 +103,8 @@ def make_spatial_inference(cfg: PipelineConfig, mesh: Mesh, axis: str = "space")
             score > cfg.score_thresh,
         )
         masks = project_roi_masks(
-            xyz, refined, out.roi_xyz, out.mask_logits, cfg.mask_thresh, valid
+            xyz, refined, out.roi_xyz, out.mask_logits, cfg.mask_thresh,
+            valid, mode=cfg.mask_project,
         )
         masks = jnp.logical_and(masks, pvalid[..., None])
         return InstancePredictions(

@@ -89,18 +89,20 @@ def _two_gt_scene():
     return preds, gt
 
 
-def test_per_gt_matching_consumes_duplicates():
+def test_per_gt_matching_duplicate_fp_can_become_later_tp():
     """Official per-GT rule vs greedy, hand-computed on _two_gt_scene at
     ov=0.25: greedy lets P0 fall through to B (P1 took A) -> both GTs
-    matched, AP_25 = 1. per_gt: GT A consumes BOTH above-threshold preds
-    (P1 as the max-confidence TP, P0 as a duplicate FP), leaving B a hard
-    FN -> recall caps at 1/2 with precision envelope [1, .5] -> AP_25 = .5.
+    matched, AP_25 = 1. per_gt (official): GT A's candidates are P1 and
+    P0; P1 (max confidence) is A's TP and is the only one marked matched;
+    P0 is appended as a duplicate FP at .6 but STAYS AVAILABLE and then
+    becomes GT B's TP at .6. Sequence [TP .9, FP .6, TP .6] over n_gt=2
+    -> precision envelope gives AP_25 = .5*1 + .5*(2/3) = 5/6.
     At ov=0.5 P0 clears neither GT, so the modes agree (AP_50 = .5)."""
     preds, gt = _two_gt_scene()
     greedy = ie.evaluate_instances([preds], [gt], [1], match="greedy")
     official = ie.evaluate_instances([preds], [gt], [1], match="per_gt")
     assert np.isclose(greedy["ap_25"], 1.0)
-    assert np.isclose(official["ap_25"], 0.5)
+    assert np.isclose(official["ap_25"], 5.0 / 6.0)
     assert np.isclose(greedy["ap_50"], 0.5)
     assert np.isclose(official["ap_50"], 0.5)
 
@@ -118,6 +120,25 @@ def test_per_gt_matching_agrees_on_simple_scenes():
         b = ie.evaluate_instances([preds], [gt], [1], match="per_gt", **kw)
         for k in ("ap", "ap_50", "ap_25"):
             assert np.isclose(a[k], b[k]), (kw, k, a[k], b[k])
+
+
+def test_iou_threshold_is_strict_in_both_modes():
+    """Official hit predicate is strict iou > threshold: a pred with IoU
+    exactly 0.5 (5 of 10 GT points) is an FP at ov=0.5 in BOTH matching
+    modes, but a TP at ov=0.25."""
+    inst = np.zeros(20, np.int32)
+    inst[0:10] = 1
+    sem = np.ones(20, np.int32)
+    gt = ie.gt_from_labels(inst, sem)
+    m = np.zeros((1, 20), bool)
+    m[0, 0:5] = True  # IoU = 5/10 = 0.5 exactly
+    preds = ie.ScenePredictions(
+        masks=m, scores=np.array([0.9]), classes=np.array([1])
+    )
+    for match in ("greedy", "per_gt"):
+        res = ie.evaluate_instances([preds], [gt], [1], match=match)
+        assert np.isclose(res["ap_50"], 0.0), match
+        assert np.isclose(res["ap_25"], 1.0), match
 
 
 def test_void_forgiveness_threshold_is_the_overlap():

@@ -1,21 +1,32 @@
-"""Spatially-sharded (per-seed/per-RoI) inference must be bit-identical to
-the single-device pipeline given the same latent noise."""
+"""Spatially-sharded (per-seed/per-RoI) inference vs the single-device
+pipeline, across every mask_project x roi_sample config the pipeline
+exposes: masks/classes/validity must be bit-identical given the same
+pre-drawn latent noise; scores to float tolerance (per-shard seed slices
+change MLP batch shapes, so matmul reduction order may differ)."""
+
+import dataclasses
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gspn_tpu.data import synthetic
-from gspn_tpu.models.pipeline import init_pipeline_variables, make_inference_fn
+from gspn_tpu.models.pipeline import init_pipeline_variables
 from gspn_tpu.parallel.mesh import make_mesh
 from gspn_tpu.parallel.spatial import make_spatial_inference
 from tests.test_pipeline_eval import TINY
 
 
-def test_spatial_inference_matches_single_device(rng):
-    import dataclasses
-
-    cfg = dataclasses.replace(TINY, num_seeds=16)  # divisible by 8 shards
+@pytest.mark.parametrize("mask_project", ["1nn", "3nn"])
+@pytest.mark.parametrize("roi_sample", ["inbox", "grid"])
+def test_spatial_inference_matches_single_device(rng, mask_project, roi_sample):
+    cfg = dataclasses.replace(
+        TINY,
+        num_seeds=16,  # divisible by 8 shards
+        mask_project=mask_project,
+        rpointnet=dataclasses.replace(TINY.rpointnet, roi_sample=roi_sample),
+    )
     b, n = 2, 192
     batch = {
         k: jnp.asarray(v)
@@ -51,7 +62,8 @@ def test_spatial_inference_matches_single_device(rng):
         refined = apply_box_deltas(boxes, out.box_deltas)
         pvalid = (keep & out.roi_valid) & (score > cfg.score_thresh)
         masks = project_roi_masks(
-            xyz, refined, out.roi_xyz, out.mask_logits, cfg.mask_thresh, valid
+            xyz, refined, out.roi_xyz, out.mask_logits, cfg.mask_thresh,
+            valid, mode=cfg.mask_project,
         )
         return masks & pvalid[..., None], jnp.where(pvalid, score, 0.0), cls, pvalid
 
