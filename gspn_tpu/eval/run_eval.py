@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--num-seeds", type=int, default=64)
     p.add_argument("--num-classes", type=int, default=18)
     p.add_argument("--dump-dir", type=str, default=None)
+    p.add_argument("--dump-format", choices=["npz", "scannet"], default="npz",
+                   help="dump layout: compact .npz per scene, or the "
+                        "official ScanNet submission format (per-scene "
+                        ".txt + predicted_masks/, directly consumable by "
+                        "the official evaluate_semantic_instance.py)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--preset", choices=["default", "tiny"], default="default")
     p.add_argument("--box-percentile", type=float, default=0.0,
@@ -184,12 +189,22 @@ def main(argv=None):
             all_preds.append(sp)
             all_gts.append(gt)
             if dump_dir:
-                np.savez_compressed(
-                    dump_dir / f"scene_{scene_i:05d}.npz",
-                    masks=sp.masks,
-                    scores=sp.scores,
-                    classes=sp.classes,
+                scene_id = batch.get("scene_ids", [None] * (bi + 1))[bi] or (
+                    f"scene_{scene_i:05d}"
                 )
+                if args.dump_format == "scannet":
+                    from gspn_tpu.eval.scannet_export import (
+                        write_scannet_submission,
+                    )
+
+                    write_scannet_submission(dump_dir, scene_id, sp)
+                else:
+                    np.savez_compressed(
+                        dump_dir / f"{scene_id}.npz",
+                        masks=sp.masks,
+                        scores=sp.scores,
+                        classes=sp.classes,
+                    )
             scene_i += 1
 
     class_ids = sorted({c for gt in all_gts for c in gt.inst_class.values()})

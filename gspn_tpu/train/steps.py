@@ -122,6 +122,7 @@ def make_rpointnet_loss_fn(
     loss_weights: dict | None = None,
     gt_box_jitter: float = 0.05,
     mix_gt_boxes: bool = True,
+    share_fps: bool = True,
 ):
     """Stage-2 loss. If ``frozen_gspn`` is given, proposal boxes come from
     the frozen stage-1 network inside the same program (reference stage-2
@@ -130,7 +131,16 @@ def make_rpointnet_loss_fn(
 
     mix_gt_boxes (with frozen_gspn): append jittered GT boxes to the
     proposal set so the heads always see positives even while stage-1
-    proposals are coarse — the standard two-stage-detector trick."""
+    proposals are coarse — the standard two-stage-detector trick.
+
+    share_fps (with frozen_gspn): greedy FPS is prefix-consistent
+    (fps(k) == fps(n)[:, :k] on the same masked point set + impl), so ONE
+    sampling pass serves both the frozen-GSPN seeds and the backbone's
+    first SA layer — exactly as the fused inference pipeline does
+    (models/pipeline.py::shared_fps_indices), keeping train and inference
+    on the same sampling path. False forces the round-2 behavior of two
+    independent (bit-identical) FPS passes; outputs are unchanged either
+    way (tested), only the step cost differs."""
     lw = loss_weights or {}
     cfg = model.config
 
@@ -145,11 +155,20 @@ def make_rpointnet_loss_fn(
             * gt_box_jitter
         )
         gt_rois = jnp.where(present[..., None], gt_boxes + noise, 0.0)
+        sa1_fps_idx = None
         if frozen_gspn is not None:
             gmodel, gvars, num_seeds = frozen_gspn
-            seed_idx = ops.farthest_point_sample(
-                num_seeds, xyz, valid, impl=cfg.ops_impl
-            )
+            sa1_n = cfg.sa_layers[0].npoint
+            if share_fps:
+                fps_all = ops.farthest_point_sample(
+                    max(num_seeds, sa1_n), xyz, valid, impl=cfg.ops_impl
+                )
+                seed_idx = fps_all[:, :num_seeds]
+                sa1_fps_idx = fps_all[:, :sa1_n]
+            else:
+                seed_idx = ops.farthest_point_sample(
+                    num_seeds, xyz, valid, impl=cfg.ops_impl
+                )
             gout = gmodel.apply(
                 gvars,
                 jax.lax.stop_gradient(xyz),
@@ -181,6 +200,7 @@ def make_rpointnet_loss_fn(
             train=True,
             mutable=["batch_stats"],
             rngs=rngs,
+            sa1_fps_idx=sa1_fps_idx,
         )
         roi_valid = (
             jnp.logical_and(out.roi_valid, present)

@@ -19,3 +19,50 @@ def test_run_eval_synthetic(tmp_path):
     assert len(dumps) == 4
     with np.load(dumps[0]) as z:
         assert {"masks", "scores", "classes"} <= set(z.files)
+
+
+def test_scannet_submission_roundtrip(tmp_path):
+    """The official-format writer/reader are exact inverses, and the
+    written layout matches the official evaluator's expectations
+    (per-scene txt of 'mask_path label confidence' + 0/1 mask files)."""
+    from gspn_tpu.eval.instance_eval import ScenePredictions
+    from gspn_tpu.eval.scannet_export import (
+        SCANNET_BENCHMARK_LABEL_IDS,
+        read_scannet_submission,
+        write_scannet_submission,
+    )
+
+    rng = np.random.default_rng(0)
+    pred = ScenePredictions(
+        masks=rng.random((3, 50)) > 0.5,
+        scores=np.round(rng.random(3), 6),
+        classes=np.array([1, 18, 7]),
+    )
+    path = write_scannet_submission(tmp_path, "scene0000_00", pred)
+    lines = path.read_text().splitlines()
+    assert len(lines) == 3
+    rel, label, conf = lines[0].split()
+    assert rel == "predicted_masks/scene0000_00_000.txt"
+    assert int(label) == SCANNET_BENCHMARK_LABEL_IDS[1] == 3
+    assert (tmp_path / rel).exists()
+    mask_lines = (tmp_path / rel).read_text().split()
+    assert set(mask_lines) <= {"0", "1"} and len(mask_lines) == 50
+
+    back = read_scannet_submission(tmp_path, "scene0000_00")
+    np.testing.assert_array_equal(back.masks, pred.masks)
+    np.testing.assert_array_equal(back.classes, pred.classes)
+    np.testing.assert_allclose(back.scores, pred.scores, atol=1e-6)
+
+
+def test_run_eval_dump_format_scannet(tmp_path):
+    run_eval.main([
+        "--num-scenes", "2", "--batch", "2", "--num-points", "192",
+        "--num-seeds", "8", "--num-classes", "3", "--preset", "tiny",
+        "--dump-dir", str(tmp_path / "sub"), "--dump-format", "scannet",
+    ])
+    from gspn_tpu.eval.scannet_export import read_scannet_submission
+
+    scenes = sorted((tmp_path / "sub").glob("scene_*.txt"))
+    assert len(scenes) == 2
+    back = read_scannet_submission(tmp_path / "sub", scenes[0].stem)
+    assert back.masks.ndim == 2
