@@ -146,6 +146,11 @@ def main():
     ref_dt = (time.perf_counter() - t0) / max(ITERS // 4, 3)
     ref_pps = B * N / ref_dt
 
+    # absolute anchor: analytic roofline model vs this measurement
+    from gspn_tpu.utils.roofline import pipeline_cost
+
+    rep = pipeline_cost(cfg, B, N)["total"].report(fused_dt)
+
     metric = "instance_seg_inference_points_per_sec_per_chip"
     if args.dtype != "f32":
         metric += f"_{args.dtype}"
@@ -156,6 +161,9 @@ def main():
                 "value": round(fused_pps, 1),
                 "unit": "points/sec",
                 "vs_baseline": round(fused_pps / ref_pps, 3),
+                "mfu": round(rep["mfu"], 5),
+                "roofline_frac": round(rep["frac_of_roof"], 4),
+                "roofline_bound": rep["bound"],
             }
         )
     )

@@ -1,0 +1,168 @@
+"""Point-level spatial sharding of the PointNet++ backbone — the
+whole-scene long-context analog of sequence/context parallelism
+(SURVEY.md §2.3, the "shard N points across chips" stretch goal).
+
+TPU-first design decision vs the CUDA-style halo exchange the survey
+sketches: raw coordinates are tiny (N x 3 f32 = 12 MB even at a million
+points), so they are REPLICATED — one all-broadcast of xyz costs far less
+over ICI than radius-dependent dynamic halo sets cost in shape dynamism
+(XLA needs static shapes; a worst-case halo bound degenerates to
+replication anyway). What actually scales with N — the per-point WORK and
+the per-point FEATURE MAPS (N x C activations, the real HBM load) — is
+sharded:
+
+- sa1 (the dominant M x N neighborhood scan): the FPS centroid QUERIES
+  shard across the mesh; each device scans the replicated coordinates for
+  its query slice only, runs the shared MLP + max-pool on its groups, and
+  the small pooled output (P x C) is ``all_gather``-ed over ICI.
+- FPS itself is sequential and global; it runs replicated (identical on
+  every shard — deterministic), as the survey's fallback permits.
+- sa2..sa4 operate on <=1024 centroids — replicated (cheaper than
+  communicating).
+- FP levels with large target counts (the other N-proportional stage:
+  three_nn + interpolate + unit MLP over all N points) shard their
+  TARGETS; sources (the small centroid level) stay full. Intermediate
+  sharded FP outputs that feed the next FP level as sources are
+  ``all_gather``-ed (small); the final per-point feature map STAYS
+  sharded on the point axis — it is the large tensor.
+
+Outputs are bit-comparable to the single-device backbone: indices/counts
+are exact; feature values agree to float tolerance (per-shard slices
+change MLP batch shapes, so XLA may reassociate matmul reductions —
+see tests/test_points_sharded.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gspn_tpu import ops
+from gspn_tpu.models.rpointnet import RPointNetConfig
+from gspn_tpu.nn.pointnet2 import PointNetFPModule, PointNetSAModule
+
+
+def _sa_module(cfg: RPointNetConfig, i: int) -> PointNetSAModule:
+    spec = cfg.sa_layers[i]
+    return PointNetSAModule(
+        npoint=spec.npoint,
+        radius=spec.radius,
+        nsample=spec.nsample,
+        mlp=spec.mlp,
+        use_bn=cfg.use_bn,
+        ops_impl=cfg.ops_impl,
+        dtype=cfg.dtype,
+    )
+
+
+def _fp_module(cfg: RPointNetConfig, i: int) -> PointNetFPModule:
+    return PointNetFPModule(
+        cfg.fp_mlps[i], use_bn=cfg.use_bn, ops_impl=cfg.ops_impl,
+        dtype=cfg.dtype,
+    )
+
+
+def _sub_vars(bb_vars, name):
+    out = {"params": bb_vars["params"][name]}
+    if "batch_stats" in bb_vars and name in bb_vars["batch_stats"]:
+        out["batch_stats"] = bb_vars["batch_stats"][name]
+    return out
+
+
+def make_sharded_backbone(
+    cfg: RPointNetConfig, mesh: Mesh, axis: str = "space"
+):
+    """Returns ``fn(bb_vars, xyz, valid) -> (B, N, C) feature map`` with
+    per-point work sharded over ``axis``; the output is sharded on the
+    point axis (reassembled by shard_map's output spec when fetched).
+
+    ``bb_vars``: the Backbone variable collections
+    (``{"params": ..., "batch_stats": ...}``, keys ``sa1..`` / ``fp1..``).
+    ``cfg.sa_layers[0].npoint`` and N must be divisible by the mesh size.
+    """
+    nshards = mesh.shape[axis]
+    nsa = len(cfg.sa_layers)
+    p1 = cfg.sa_layers[0].npoint
+    if p1 % nshards:
+        raise ValueError(f"sa1 npoint={p1} not divisible by {nshards} shards")
+    per_q = p1 // nshards
+
+    def shard_fn(bb_vars, xyz, valid):
+        i = jax.lax.axis_index(axis)
+        b, n = xyz.shape[0], xyz.shape[1]
+        if n % nshards:
+            raise ValueError(f"N={n} not divisible by {nshards} shards")
+        per_n = n // nshards
+
+        # ---- sa1: replicated FPS, sharded queries
+        fps_idx = ops.farthest_point_sample(p1, xyz, valid, impl=cfg.ops_impl)
+        my_fps = jax.lax.dynamic_slice_in_dim(fps_idx, i * per_q, per_q, axis=1)
+        sa1 = _sa_module(cfg, 0)
+        nx, nf, nv = sa1.apply(
+            _sub_vars(bb_vars, "sa1"), xyz, None, valid, False, my_fps
+        )
+        xs = [xyz]
+        fs = [None]
+        vs = [valid]
+        # gather the small pooled level: (B, P1, C) + coords + validity
+        xs.append(jax.lax.all_gather(nx, axis, axis=1, tiled=True))
+        fs.append(jax.lax.all_gather(nf, axis, axis=1, tiled=True))
+        vs.append(
+            None
+            if nv is None
+            else jax.lax.all_gather(nv, axis, axis=1, tiled=True)
+        )
+
+        # ---- sa2..: small centroid sets, replicated
+        for li in range(1, nsa):
+            mod = _sa_module(cfg, li)
+            nx, nf, nv = mod.apply(
+                _sub_vars(bb_vars, f"sa{li + 1}"), xs[-1], fs[-1], vs[-1],
+                False,
+            )
+            xs.append(nx)
+            fs.append(nf)
+            vs.append(nv)
+
+        # ---- FP stack: shard large target levels
+        feat = fs[-1]
+        for fi in range(nsa):
+            lvl = nsa - 1 - fi  # target level
+            tgt_n = xs[lvl].shape[1]
+            mod = _fp_module(cfg, fi)
+            mvars = _sub_vars(bb_vars, f"fp{fi + 1}")
+            shard_this = tgt_n % nshards == 0 and tgt_n // nshards >= 8
+            if shard_this:
+                per_t = tgt_n // nshards
+                sl = lambda a: (
+                    None
+                    if a is None
+                    else jax.lax.dynamic_slice_in_dim(a, i * per_t, per_t, axis=1)
+                )
+                feat = mod.apply(
+                    mvars, sl(xs[lvl]), xs[lvl + 1], sl(fs[lvl]), feat,
+                    sl(vs[lvl]), vs[lvl + 1], False,
+                )
+                if fi < nsa - 1:  # feeds the next FP level as its source
+                    feat = jax.lax.all_gather(feat, axis, axis=1, tiled=True)
+            else:
+                feat = mod.apply(
+                    mvars, xs[lvl], xs[lvl + 1], fs[lvl], feat, vs[lvl],
+                    vs[lvl + 1], False,
+                )
+                if fi == nsa - 1:
+                    # keep the contract: final map leaves sharded
+                    feat = jax.lax.dynamic_slice_in_dim(
+                        feat, i * per_n, per_n, axis=1
+                    )
+        return feat
+
+    sharded = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
