@@ -8,14 +8,19 @@ the whole ``sample_and_group`` neighborhood stage for every concentric
 scale at once, with three structural wins over both the reference and
 the round-1 kernels:
 
-1. **Chunked scan with early exit.** Dataset points are scanned in
-   NC-lane chunks; per chunk, each query extracts its in-radius hits in
-   ascending index order (identical to the serial first-come scan). The
-   chunk loop is a ``while_loop`` that stops as soon as every query of
-   every scale has ``nsample`` hits — the vectorized analog of the CUDA
-   kernel's per-thread ``break``, which the round-1 full-width kernel
-   could not do. Extraction passes run over (TM, NC) tiles instead of
-   (TM, Npad), cutting VMEM traffic by ~Npad/NC per pass.
+1. **Chunked scan with early exit, windowed extraction.** Dataset points
+   are scanned in NC-lane chunks; per chunk, each query extracts its
+   in-radius hits in ascending index order (identical to the serial
+   first-come scan). The chunk loop is a ``while_loop`` that stops as
+   soon as every query of every scale has ``nsample`` hits — the
+   vectorized analog of the CUDA kernel's per-thread ``break``, which the
+   round-1 full-width kernel could not do. Extraction is two-level
+   (round 3): the per-hit min/select/sum passes — the kernel's dominant
+   VPU cost, ~10 lane-reduce passes per extracted hit — run over static
+   NW-lane *windows* of the chunk rather than the full NC lanes, cutting
+   per-hit VPU work by NC/NW (the round-2 full-chunk extraction measured
+   VPU-throughput-bound, not control-bound: taller query tiles and
+   higher unroll both LOSE — see scripts/sweep_ballgroup.py).
 2. **Fused gather.** Member coordinates are extracted from the same
    one-hot select that extracts the index, so the downstream
    ``group_point`` HBM gather for xyz disappears; outputs are local
@@ -41,8 +46,16 @@ from gspn_tpu.ops.ball_query import _ball_query_xla
 from gspn_tpu.ops.common import resolve_impl, round_up
 from gspn_tpu.ops.grouping import group_point
 
-_NC = 512  # dataset points scanned per chunk
+# Defaults from the on-chip sweep (scripts/sweep_ballgroup.py, v5e):
+# big chunks + 1024-lane windows beat the round-2 (512, full-chunk
+# extraction) layout by ~14% at the sa1 shape; taller query tiles,
+# higher unroll, and narrow windows all measured WORSE (see module
+# docstring for why).
+_NC = 4096  # dataset points per chunk (early-exit granularity)
+_NW = 1024  # window lanes: extraction + distance pass width
 _UNROLL = 4  # extraction steps per loop iteration (over-steps are no-ops)
+_TM = 128  # query rows per grid program (see _fused_pallas)
+_SORT_Q = False  # Morton-sort queries before the kernel (see _fused_pallas)
 
 
 def _fused_kernel(
@@ -56,8 +69,10 @@ def _fused_kernel(
     r2s,
     n: int,
     nc: int,
+    nw: int,
     ntiles: int,
     with_coords: bool,
+    unroll: int,
 ):
     npad = xyz_ref.shape[2]
     tm = q_ref.shape[1]
@@ -73,7 +88,7 @@ def _fused_kernel(
     kiotas = [
         jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1) for kp in kpads
     ]
-    liota = jax.lax.broadcasted_iota(jnp.int32, (tm, nc), 1)
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (tm, nw), 1)
 
     # ---- loop state: per scale (cnt, idx acc, [x, y, z accs])
     def init_scale(s):
@@ -102,63 +117,79 @@ def _fused_kernel(
     def body(carry):
         i, state = carry
         off = rel_ref[row, 1 + i] * nc
-        x = xyz_ref[0, 0:1, pl.ds(off, nc)]  # (1, NC)
-        y = xyz_ref[0, 1:2, pl.ds(off, nc)]
-        z = xyz_ref[0, 2:3, pl.ds(off, nc)]
-        vm = xyz_ref[0, 3:4, pl.ds(off, nc)] > 0.0
-        dx = qx - x
-        dy = qy - y
-        dz = qz - z
-        d2 = dx * dx + dy * dy + dz * dz  # (TM, NC) — shared across scales
-        # the validity plane is zero beyond n, so vm alone masks padding
-        gvalid = vm
+        # Window-major: sub-tiles are loaded FROM THE REFS at aligned
+        # offsets (Mosaic rejects broadcasting lane-offset slices of
+        # register values — "Invalid input layout"). Windows are processed
+        # sequentially in ascending index order (exactly the serial scan);
+        # the distance pass is shared across scales per window, and the
+        # per-hit min/select/sum chains — the kernel's measured bound —
+        # run at NW lanes. Parallel-segment extraction was measured and
+        # REJECTED: real scenes cluster points by instance in index order,
+        # so hits concentrate in one segment and the parallel variant
+        # multiplies work by the segment count without cutting steps.
+        st = state
+        for w in range(nc // nw):
+            base = off + w * nw
+            x_w = xyz_ref[0, 0:1, pl.ds(base, nw)]  # (1, NW)
+            y_w = xyz_ref[0, 1:2, pl.ds(base, nw)]
+            z_w = xyz_ref[0, 2:3, pl.ds(base, nw)]
+            vm_w = xyz_ref[0, 3:4, pl.ds(base, nw)] > 0.0
+            dx = qx - x_w
+            dy = qy - y_w
+            dz = qz - z_w
+            d2 = dx * dx + dy * dy + dz * dz  # (TM, NW)
 
-        new_state = []
-        for s in range(nscales):
-            k = nsamples[s]
-            cnt = state[s][0]
-            hit = jnp.logical_and(d2 < r2s[s], gvalid)
-            pos0 = jnp.where(hit, liota, nc)
-            hits = jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True)
-            need = jnp.maximum(jnp.minimum(hits, k - cnt), 0)
-            tmax = jnp.max(need)
+            new_st = []
+            for s in range(nscales):
+                k = nsamples[s]
+                st_s = st[s]
+                cnt = st_s[0]
+                # validity plane is zero beyond n: vm_w masks padding
+                hit_w = jnp.logical_and(d2 < r2s[s], vm_w)
+                pos0 = jnp.where(hit_w, wiota, nw)
+                hits = jnp.sum(hit_w.astype(jnp.int32), axis=1, keepdims=True)
+                need = jnp.maximum(jnp.minimum(hits, k - cnt), 0)
+                tmax = jnp.max(need)
 
-            def inner_step(st):
-                if with_coords:
-                    pos, cnt, acc_i, ax, ay, az = st
-                else:
-                    pos, cnt, acc_i = st
-                m = jnp.min(pos, axis=1, keepdims=True)  # (TM, 1)
-                ok = jnp.logical_and(m < nc, cnt < k)  # (TM, 1)
-                sel = pos == m  # one-hot over NC (or none if m == nc)
-                gidx = (off + jnp.where(m >= nc, 0, m)).astype(jnp.int32)
-                wk = jnp.logical_and(kiotas[s] == cnt, ok)
-                acc_i = jnp.where(wk, gidx, acc_i)
-                if with_coords:
-                    zf = jnp.zeros((tm, nc), jnp.float32)
-                    cxv = jnp.sum(jnp.where(sel, x, zf), axis=1, keepdims=True)
-                    cyv = jnp.sum(jnp.where(sel, y, zf), axis=1, keepdims=True)
-                    czv = jnp.sum(jnp.where(sel, z, zf), axis=1, keepdims=True)
-                    ax = jnp.where(wk, cxv, ax)
-                    ay = jnp.where(wk, cyv, ay)
-                    az = jnp.where(wk, czv, az)
-                cnt = cnt + jnp.where(ok, 1, 0)
-                pos = jnp.where(jnp.logical_and(sel, ok), nc, pos)
-                if with_coords:
-                    return pos, cnt, acc_i, ax, ay, az
-                return pos, cnt, acc_i
+                def inner_step(st_, k=k, s=s, base=base, x_w=x_w, y_w=y_w, z_w=z_w):
+                    if with_coords:
+                        pos, cnt, acc_i, ax, ay, az = st_
+                    else:
+                        pos, cnt, acc_i = st_
+                    m = jnp.min(pos, axis=1, keepdims=True)  # (TM, 1)
+                    ok = jnp.logical_and(m < nw, cnt < k)  # (TM, 1)
+                    sel = pos == m  # one-hot over NW (or none if m == nw)
+                    gidx = (base + jnp.where(m >= nw, 0, m)).astype(jnp.int32)
+                    wk = jnp.logical_and(kiotas[s] == cnt, ok)
+                    acc_i = jnp.where(wk, gidx, acc_i)
+                    if with_coords:
+                        zf = jnp.zeros((tm, nw), jnp.float32)
+                        cxv = jnp.sum(jnp.where(sel, x_w, zf), axis=1, keepdims=True)
+                        cyv = jnp.sum(jnp.where(sel, y_w, zf), axis=1, keepdims=True)
+                        czv = jnp.sum(jnp.where(sel, z_w, zf), axis=1, keepdims=True)
+                        ax = jnp.where(wk, cxv, ax)
+                        ay = jnp.where(wk, cyv, ay)
+                        az = jnp.where(wk, czv, az)
+                    cnt = cnt + jnp.where(ok, 1, 0)
+                    pos = jnp.where(jnp.logical_and(sel, ok), nw, pos)
+                    if with_coords:
+                        return pos, cnt, acc_i, ax, ay, az
+                    return pos, cnt, acc_i
 
-            def inner(t, st):
-                # manual unroll: extra steps no-op via the ok-guards,
-                # so rounding tmax up is safe; amortizes loop control
-                for _ in range(_UNROLL):
-                    st = inner_step(st)
-                return st
+                def inner(t, st_, inner_step=inner_step):
+                    # manual unroll: extra steps no-op via the ok-guards,
+                    # so rounding tmax up is safe; amortizes loop control
+                    for _ in range(unroll):
+                        st_ = inner_step(st_)
+                    return st_
 
-            st0 = (pos0, cnt) + tuple(state[s][1:])
-            stf = jax.lax.fori_loop(0, (tmax + _UNROLL - 1) // _UNROLL, inner, st0)
-            new_state.append(stf[1:])
-        return i + 1, tuple(new_state)
+                st0 = (pos0,) + tuple(st_s)
+                stf = jax.lax.fori_loop(
+                    0, (tmax + unroll - 1) // unroll, inner, st0
+                )
+                new_st.append(tuple(stf[1:]))
+            st = tuple(new_st)
+        return i + 1, st
 
     state0 = tuple(init_scale(s) for s in range(nscales))
     _, state = jax.lax.while_loop(cond, body, (jnp.int32(0), state0))
@@ -254,10 +285,25 @@ def _fused_pallas(
 ):
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
-    nc = min(_NC, round_up(n, 128))
+    nw = min(_NW, round_up(n, 128))
+    nc = round_up(min(_NC, round_up(n, 128)), nw)  # whole windows per chunk
     npad = round_up(n, nc)
-    tm = min(128, round_up(m, 8))
+    tm = min(_TM, round_up(m, 8))
     mpad = round_up(m, tm)
+
+    # Morton-sort the QUERIES (not the scene — measured loser, see
+    # docstring): a tile of spatially coherent queries hits few windows,
+    # so the per-window worst-row step count Sum_w tmax_w collapses
+    # toward K instead of (#clusters-in-tile x K). Per-query results are
+    # order-independent, so outputs are un-permuted afterwards —
+    # bit-exact either way.
+    inv = None
+    if _SORT_Q and m > tm:
+        from gspn_tpu.ops.morton import spatial_order
+
+        perm = spatial_order(xyz2)
+        xyz2 = jnp.take_along_axis(xyz2, perm[..., None], axis=1)
+        inv = jnp.argsort(perm, axis=-1)
 
     planes = jnp.zeros((b, 8, npad), jnp.float32)
     planes = planes.at[:, 0:3, :n].set(
@@ -290,6 +336,17 @@ def _fused_pallas(
                 jax.ShapeDtypeStruct((b, mpad, shape[2]), dt)
             )
 
+    # live (tm, nc) f32 buffers in the extraction loop (pos/d2/hit/sel/...)
+    # plus per-scale (tm, kpad) accumulators: raise the scoped-VMEM cap
+    # above the 16 MB compiler default for tall tiles
+    need = tm * nc * 4 * 10 + sum(
+        tm * kp * 4 * (5 if with_coords else 2) for kp in kpads
+    ) + 8 * npad * 4 + (4 << 20)
+    params = (
+        {"compiler_params": pltpu.CompilerParams(vmem_limit_bytes=need)}
+        if need > 16 * 1024 * 1024
+        else {}
+    )
     outs = pl.pallas_call(
         functools.partial(
             _fused_kernel,
@@ -297,8 +354,10 @@ def _fused_pallas(
             r2s=tuple(float(r) ** 2 for r in radii),
             n=n,
             nc=nc,
+            nw=nw,
             ntiles=mpad // tm,
             with_coords=with_coords,
+            unroll=_UNROLL,
         ),
         grid=(b, mpad // tm),
         in_specs=[
@@ -309,17 +368,25 @@ def _fused_pallas(
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
+        **params,
     )(rel, planes, q)
 
     results = []
     for s, (k, kp) in enumerate(zip(nsamples, kpads, strict=True)):
         idx = outs[per * s][:, :m, :k]
         cnt = outs[per * s + 1][:, :m, 0]
+        if inv is not None:  # undo the query sort
+            idx = jnp.take_along_axis(idx, inv[..., None], axis=1)
+            cnt = jnp.take_along_axis(cnt, inv, axis=1)
         if with_coords:
             gx = outs[per * s + 2][:, :m, :k]
             gy = outs[per * s + 3][:, :m, :k]
             gz = outs[per * s + 4][:, :m, :k]
             grouped = jnp.stack([gx, gy, gz], axis=-1)  # (B, M, K, 3)
+            if inv is not None:
+                grouped = jnp.take_along_axis(
+                    grouped, inv[..., None, None], axis=1
+                )
             results.append((idx, cnt, grouped))
         else:
             results.append((idx, cnt))

@@ -36,6 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 from gspn_tpu.ops.common import resolve_impl, round_up
 
 _BIG = 1e10
+_UNROLL = 4  # greedy steps per fori_loop iteration; measured best on v5e
+#              (2.26 vs 2.38 ms at 1024/8192 — the loop is bound by its
+#              dependent distance->argmax chain, so gains are small)
 
 
 # ---------------------------------------------------------------------------
@@ -131,11 +134,21 @@ def _fps_kernel(x_ref, y_ref, z_ref, v_ref, idx_ref, *, npoint: int, n: int):
         acc = jnp.where(kiota == i, nxt, acc)
         return mind, nxt, acc
 
-    if npoint > 1:
-        _, _, acc = jax.lax.fori_loop(1, npoint, body, (mind0, first, acc0))
-    else:
-        acc = acc0
-    idx_ref[:, :] = acc
+    carry = (mind0, first, acc0)
+    steps = npoint - 1
+    u = max(1, _UNROLL)
+    if steps >= u > 1:
+        def body_u(t, c):
+            for j in range(u):
+                c = body(1 + u * t + j, c)
+            return c
+
+        carry = jax.lax.fori_loop(0, steps // u, body_u, carry)
+        for i in range(1 + (steps // u) * u, npoint):  # remainder steps
+            carry = body(i, carry)
+    elif steps > 0:
+        carry = jax.lax.fori_loop(1, npoint, body, carry)
+    idx_ref[:, :] = carry[2]
 
 
 def _fps_rows(b: int, npad: int) -> int:

@@ -95,6 +95,25 @@ def main():
         lambda v_, x, m, k: infer(v_, x, None, m, k),
         variables, xyz, validj, jax.random.PRNGKey(1), iters=5,
     )
+
+    # point-sharded backbone row (parallel/points.py): per-point work and
+    # feature maps shard over every local device. On a single chip this
+    # measures the sharded path's overhead at n_dev=1 (parity mode); the
+    # scaling itself is validated on the virtual 8-CPU mesh
+    # (tests/test_points_sharded.py) — ICI timing needs real multi-chip.
+    from gspn_tpu.parallel.mesh import make_mesh
+    from gspn_tpu.parallel.points import make_sharded_backbone
+
+    ndev = len(jax.devices())
+    mesh = make_mesh(ndev, axis="space")
+    bb_vars = {
+        "params": variables["rpointnet"]["params"]["backbone"],
+        "batch_stats": variables["rpointnet"]["batch_stats"]["backbone"],
+    }
+    sharded_bb = make_sharded_backbone(cfg.rpointnet, mesh, axis="space")
+    dt_s = time_fn(sharded_bb, bb_vars, xyz, validj, iters=5, warmup=2)
+    rows[f"backbone point-sharded ({ndev} dev)"] = round(dt_s * 1e3, 3)
+    print(f"{f'backbone point-sharded ({ndev} dev)':<44s} {dt_s * 1e3:9.3f} ms")
     print(json.dumps({
         "metric": "whole_scene_inference_points_per_sec_per_chip",
         "value": round(B * N / dt, 1),

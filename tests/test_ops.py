@@ -239,6 +239,26 @@ def test_nms(rng, impl):
         np.testing.assert_array_equal(got, want)
 
 
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_nms_tied_scores_stable(rng, impl):
+    """The rank-matmul sort inside nms_3d_batched must be STABLE: tied
+    scores keep input order (like the argsort it replaced), so the
+    greedy result matches the sequential oracle exactly."""
+    r = 30
+    centers = rng.random((r, 3)).astype(np.float32) * 2
+    ext = 0.3 + rng.random((r, 3)).astype(np.float32) * 0.5
+    boxes = np.concatenate([centers - ext / 2, centers + ext / 2], -1)
+    scores = rng.choice([0.2, 0.5, 0.5, 0.5, 0.9], size=r).astype(np.float32)
+    valid = rng.random(r) > 0.2
+    for v in (None, valid):
+        got = np.asarray(
+            ops.nms_3d(jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+                       None if v is None else jnp.asarray(v), impl=impl)
+        )
+        want = oracles.nms_oracle(boxes, scores, 0.3, v)
+        np.testing.assert_array_equal(got, want)
+
+
 def test_fps_permutation_covariance(rng):
     # FPS selects the same point SET under permutation when distances are
     # distinct (indices map through the permutation, except the seed)
