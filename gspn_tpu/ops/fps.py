@@ -181,7 +181,10 @@ def _fps_pallas(xyz: jax.Array, npoint: int, valid: jax.Array | None, interpret:
     # whole-scene rows (npad = 64k+) put ~13 MB of live (ROWS, Npad)
     # buffers on the kernel stack; raise the scoped-vmem cap above the
     # 16 MB compiler default (v5e VMEM is far larger) when needed
-    need = rows * npad * 4 * 12 + (4 << 20)
+    # factor covers the x_UNROLL-unrolled body's concurrent temporaries
+    # (measured: 12 was enough at unroll=1, the 64k-lane unroll=4 kernel
+    # peaks ~30 MB ≈ 15x rows*npad*4)
+    need = rows * npad * 4 * (12 + 2 * _UNROLL) + (4 << 20)
     if need > 120 * 1024 * 1024:
         # beyond physical VMEM (v5e: 128 MiB) the kernel cannot fit;
         # fail legibly instead of with an opaque Mosaic scoped-vmem error

@@ -179,24 +179,12 @@ def nms_3d_batched(
     b, r = scores.shape
     neg = jnp.full_like(scores, -jnp.inf)
     s = scores if valid is None else jnp.where(valid, scores, neg)
-    # Rank-matmul sort instead of XLA's generic sort: rank_i = #{j: s_j >
-    # s_i} + #{j < i: s_j == s_i} (stable, ties keep input order) is two
-    # vectorized (R, R) passes, and the permutation applies as a one-hot
-    # matmul — R is small (proposal counts), so this is cheaper than the
-    # sort network on TPU and stays inside the fused program.
-    si = s[..., :, None]
-    sj = s[..., None, :]
-    earlier_j = jnp.arange(r)[None, :] < jnp.arange(r)[:, None]  # j<i at [i,j]
-    rank = (
-        jnp.sum((sj > si).astype(jnp.int32), axis=-1)
-        + jnp.sum(((sj == si) & earlier_j).astype(jnp.int32), axis=-1)
-    )  # (B, R): sorted position of element i
-    perm = (rank[..., None, :] == jnp.arange(r)[:, None]).astype(
-        boxes.dtype
-    )  # (B, R, R): perm[k, i] = 1 iff element i lands at sorted slot k
-    bs = jnp.einsum("bki,bid->bkd", perm, boxes)
-    order = jnp.einsum("bki,i->bk", perm, jnp.arange(r, dtype=boxes.dtype))
-    order = order.astype(jnp.int32)
+    # XLA's stable argsort: ties keep input order. (A rank-comparison +
+    # one-hot-permutation-matmul alternative was measured on v5e and is
+    # ~2 ms SLOWER standalone at R=64 — the sort is not the cost here,
+    # the per-call dispatch floor is; see STATUS round-3 sweep notes.)
+    order = jnp.argsort(-s, axis=-1)
+    bs = jnp.take_along_axis(boxes, order[..., None], axis=1)
     alive = (
         jnp.ones((b, r), bool)
         if valid is None
