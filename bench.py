@@ -53,9 +53,12 @@ def _host_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
 def _bench(fn, *args):
     # NOTE: block_until_ready does not synchronize on this tunneled TPU
     # backend — use the device-get based timer (gspn_tpu.utils.timing).
+    # Median of 6 batches: the tunnel's throughput drifts ~±5% between
+    # windows, so a single mean is not comparable across sessions.
     from gspn_tpu.utils.timing import time_fn
 
-    return time_fn(fn, *args, iters=ITERS, warmup=WARMUP)
+    return time_fn(fn, *args, iters=ITERS // 6, warmup=WARMUP, batches=6,
+                   stat="median")
 
 
 def main():

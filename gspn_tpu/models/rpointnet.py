@@ -157,7 +157,7 @@ class Backbone(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def point_roi_align(xyz, boxes, s: int, valid=None, rng=None):
+def point_roi_align(xyz, boxes, s: int, valid=None, rng=None, impl="auto"):
     """Sample ``s`` scene points inside each box (cycling with replacement
     when the box holds fewer), canonicalize to the RoI frame.
 
@@ -165,25 +165,45 @@ def point_roi_align(xyz, boxes, s: int, valid=None, rng=None):
     with an rng, a uniform random in-box subset without replacement (the
     reference's randomized RoI sampling) via Gumbel top-k.
 
+    The deterministic path runs on the fused in-box extraction kernel
+    (``ops.box_group``) when ``impl`` resolves to pallas — bit-identical
+    to the mask+top_k formulation (tested in tests/test_roi_modes.py) but
+    without the per-row full-width top_k pass.
+
     xyz (B, N, 3), boxes (B, R, 6) -> (idx (B, R, S) i32,
     canon (B, R, S, 3), roi_valid (B, R) bool, in_cnt (B, R) i32).
     """
     n = xyz.shape[1]
+    extent = jnp.maximum(boxes[..., 3:6] - boxes[..., 0:3], 1e-6)
+    if rng is None:
+        from gspn_tpu.ops.box_group import query_box_group
+
+        first_s, cnt, local = query_box_group(boxes, s, xyz, valid, impl=impl)
+        # cycle with replacement: slot k -> hit[k mod cnt]; cnt is capped
+        # at s, which leaves the wrap unchanged (k < s <= uncapped cnt
+        # implies k mod cnt == k in both conventions)
+        k = jnp.arange(s, dtype=jnp.int32)
+        wrap = jnp.mod(
+            jnp.broadcast_to(k, first_s.shape), jnp.maximum(cnt, 1)[..., None]
+        )
+        idx = jnp.take_along_axis(first_s, wrap, axis=-1)
+        roi_valid = cnt > 0
+        idx = jnp.where(roi_valid[..., None], idx, 0)
+        canon = jnp.take_along_axis(local, wrap[..., None], axis=-2) / (
+            extent[..., None, :]
+        )
+        return idx, canon, roi_valid, cnt
+
     lo = boxes[..., None, 0:3]  # (B, R, 1, 3)
     hi = boxes[..., None, 3:6]
     p = xyz[:, None, :, :]  # (B, 1, N, 3)
     inside = jnp.all(jnp.logical_and(p >= lo, p <= hi), axis=-1)  # (B, R, N)
     if valid is not None:
         inside = jnp.logical_and(inside, valid[:, None, :])
-    if rng is None:
-        pos = jnp.where(inside, jnp.arange(n, dtype=jnp.int32), n)
-        neg_top, _ = jax.lax.top_k(-pos, s)
-        first_s = jnp.where(-neg_top >= n, 0, -neg_top)  # (B, R, S) ascending
-    else:
-        # uniform subset w/o replacement: top-s of iid gumbel noise
-        g = jax.random.gumbel(rng, inside.shape, jnp.float32)
-        _, first_s = jax.lax.top_k(jnp.where(inside, g, -jnp.inf), s)
-        first_s = first_s.astype(jnp.int32)
+    # uniform subset w/o replacement: top-s of iid gumbel noise
+    g = jax.random.gumbel(rng, inside.shape, jnp.float32)
+    _, first_s = jax.lax.top_k(jnp.where(inside, g, -jnp.inf), s)
+    first_s = first_s.astype(jnp.int32)
     cnt = jnp.sum(inside, axis=-1).astype(jnp.int32)
     # cycle with replacement: slot k -> first_s[k mod cnt]
     k = jnp.arange(s, dtype=jnp.int32)
@@ -198,7 +218,6 @@ def point_roi_align(xyz, boxes, s: int, valid=None, rng=None):
     pts = jnp.take_along_axis(xyz, idx.reshape(b, r * s, 1), axis=1)
     pts = pts.reshape(b, r, s, 3)
     center = (boxes[..., 0:3] + boxes[..., 3:6]) * 0.5
-    extent = jnp.maximum(boxes[..., 3:6] - boxes[..., 0:3], 1e-6)
     canon = (pts - center[..., None, :]) / extent[..., None, :]
     return idx, canon, roi_valid, jnp.minimum(cnt, s)
 
@@ -366,7 +385,8 @@ class RPointNet(nn.Module):
                 else None
             )
             idx, canon, roi_valid, _ = point_roi_align(
-                xyz, boxes, cfg.roi_samples, valid, rng=rng
+                xyz, boxes, cfg.roi_samples, valid, rng=rng,
+                impl=cfg.ops_impl,
             )
             roi_feats = gather_roi_features(feat, idx)
             b, r, s = idx.shape

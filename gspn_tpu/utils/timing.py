@@ -32,12 +32,36 @@ def sync(tree) -> None:
     np.asarray(jax.device_get(_reduce(smallest)))
 
 
-def time_fn(fn, *args, iters: int = 10, warmup: int = 2) -> float:
-    """Mean seconds per call, completion-synchronized."""
+def time_fn(
+    fn,
+    *args,
+    iters: int = 10,
+    warmup: int = 2,
+    batches: int = 1,
+    stat: str = "mean",
+) -> float:
+    """Seconds per call, completion-synchronized.
+
+    With ``batches > 1``, times ``batches`` independent blocks of
+    ``iters`` calls and aggregates the per-block means with ``stat``
+    ("mean" | "median" | "min"). The tunneled backend's throughput
+    drifts by ~±5% between multi-second windows (external queueing, not
+    our program — measured on back-to-back identical bench runs);
+    median-of-batches makes measurements comparable across sessions.
+    """
     for _ in range(warmup):
         sync(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / iters
+    means = []
+    for _ in range(batches):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)
+        means.append((time.perf_counter() - t0) / iters)
+    if stat == "mean":
+        return float(np.mean(means))
+    if stat == "median":
+        return float(np.median(means))
+    if stat == "min":
+        return float(np.min(means))
+    raise ValueError(f"stat must be mean|median|min, got {stat!r}")

@@ -65,6 +65,21 @@ def main():
         assert bool(jnp.all(fgx == want)), f"fused grouped mismatch r={r}"
     print("fused ball_group (2 scales, chunked+early-exit): idx/cnt/coords match")
 
+    # --- fused in-box RoI extraction kernel vs mask+top_k
+    from gspn_tpu.ops.box_group import query_box_group
+
+    bc = jnp.asarray(rng.uniform(-1, 1, (b, 64, 3)).astype(np.float32))
+    be = jnp.asarray(rng.uniform(0.1, 0.6, (b, 64, 3)).astype(np.float32))
+    boxes = jnp.concatenate([bc - be, bc + be], axis=-1)
+    gi_p, gc_p, gl_p = query_box_group(boxes, 16, xyz, valid,
+                                       impl="pallas", interpret=False)
+    gi_x, gc_x, gl_x = query_box_group(boxes, 16, xyz, valid, impl="xla")
+    assert bool(jnp.all(gi_p == gi_x)), "box_group idx mismatch"
+    assert bool(jnp.all(gc_p == gc_x)), "box_group cnt mismatch"
+    assert bool(jnp.all(gl_p == gl_x)), "box_group coords mismatch"
+    print(f"box_group (64 RoIs, S=16): idx/cnt/coords pallas==xla, "
+          f"mean cnt {float(jnp.mean(gc_p)):.1f}")
+
     # --- tiled-M three_nn (large source sets stay in VMEM)
     td, ti = ops.three_nn(xyz[:, :512], xyz, valid, impl="pallas", interpret=False)
     xd, xi = ops.three_nn(xyz[:, :512], xyz, valid, impl="xla")

@@ -92,6 +92,22 @@ def test_rpointnet_grid_mode_forward(rng):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_point_roi_align_impls_bit_identical(rng):
+    """The deterministic path's fused kernel (ops.box_group, interpret
+    mode off-TPU) must match the mask+top_k XLA formulation exactly —
+    idx, canon, validity, and counts."""
+    b, n, s = 2, 300, 8
+    xyz = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    valid = jnp.asarray(rng.random((b, n)) > 0.2)
+    c = rng.uniform(-1, 1, (b, 6, 3)).astype(np.float32)
+    e = rng.uniform(0.05, 0.8, (b, 6, 3)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([c - e, c + e], axis=-1))
+    outs_p = point_roi_align(xyz, boxes, s, valid, impl="pallas")
+    outs_x = point_roi_align(xyz, boxes, s, valid, impl="xla")
+    for a, bb in zip(outs_p, outs_x, strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+
+
 def test_point_roi_align_random_subset(rng):
     b, n, s = 1, 64, 8
     xyz = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
