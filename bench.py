@@ -50,17 +50,6 @@ def _host_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
     return keep
 
 
-def _bench(fn, *args):
-    # NOTE: block_until_ready does not synchronize on this tunneled TPU
-    # backend — use the device-get based timer (gspn_tpu.utils.timing).
-    # Median of 6 batches: the tunnel's throughput drifts ~±5% between
-    # windows, so a single mean is not comparable across sessions.
-    from gspn_tpu.utils.timing import time_fn
-
-    return time_fn(fn, *args, iters=ITERS // 6, warmup=WARMUP, batches=6,
-                   stat="median")
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
@@ -93,10 +82,11 @@ def main():
     variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), N)
     key = jax.random.PRNGKey(1)
 
-    # ---- ours: one fused XLA program
+    # ---- ours: one fused XLA program. (A lax.scan "streamed" variant was
+    # measured and does NOT help: per-call dispatch already pipelines
+    # under async execution, so the scan only adds overhead — the
+    # serving API stays available as make_streamed_inference_fn.)
     infer = jax.jit(make_inference_fn(cfg))
-    fused_dt = _bench(infer, variables, xyz, None, valid, key)
-    fused_pps = B * N / fused_dt
 
     # ---- reference-style: stage-per-sess.run with host boundaries
     gspn_cfg, rpn_cfg = cfg.gspn, cfg.rpointnet
@@ -141,12 +131,30 @@ def main():
         masks = stage_masks(jnp.asarray(xyz_np), refined, ridx, mlog, v)
         return np.asarray(masks) & keeps[..., None] & np.asarray(rvalid)[..., None]
 
+    # ---- interleaved measurement: the tunnel's throughput drifts between
+    # multi-second windows (up to ~40% across sessions, STATUS.md), so
+    # fused / reference-style batches alternate and each side takes its
+    # median — the vs_baseline RATIO is drift-robust, not just each
+    # number separately.
+    from gspn_tpu.utils.timing import time_fn
+
     xyz_np, valid_np = batch["xyz"], batch["valid"]
     reference_style(xyz_np, valid_np, key)  # compile
-    t0 = time.perf_counter()
-    for _ in range(max(ITERS // 4, 3)):
-        reference_style(xyz_np, valid_np, key)
-    ref_dt = (time.perf_counter() - t0) / max(ITERS // 4, 3)
+    time_fn(infer, variables, xyz, None, valid, key, iters=1, warmup=WARMUP)
+    fused_ts, ref_ts = [], []
+    per = ITERS // 6
+    for _ in range(6):
+        fused_ts.append(
+            time_fn(infer, variables, xyz, None, valid, key,
+                    iters=per, warmup=0)
+        )
+        t0 = time.perf_counter()
+        for _ in range(max(per // 2, 1)):
+            reference_style(xyz_np, valid_np, key)
+        ref_ts.append((time.perf_counter() - t0) / max(per // 2, 1))
+    fused_dt = float(np.median(fused_ts))
+    ref_dt = float(np.median(ref_ts))
+    fused_pps = B * N / fused_dt
     ref_pps = B * N / ref_dt
 
     # absolute anchor: analytic roofline model vs this measurement

@@ -166,6 +166,29 @@ def make_inference_fn(cfg: PipelineConfig):
     return infer
 
 
+def make_streamed_inference_fn(cfg: PipelineConfig):
+    """Serving-shape entry point: ONE dispatch runs a whole stream of
+    batches back-to-back via ``lax.scan``.
+
+    ``run(variables, xyz_s (T,B,N,3), valid_s (T,B,N), rngs (T,2)) ->
+    InstancePredictions`` with a leading T axis on every field. Batches
+    are independent (no carried state): semantics are identical to T
+    separate :func:`make_inference_fn` calls; only the per-call host
+    dispatch cost is amortized (significant where dispatch is expensive,
+    e.g. ~1.35 ms/call through the dev-chip tunnel; see STATUS.md)."""
+    infer = make_inference_fn(cfg)
+
+    def run(variables, xyz_s, valid_s, rngs):
+        def step(carry, inp):
+            x, v, k = inp
+            return carry, infer(variables, x, None, v, k)
+
+        _, preds = jax.lax.scan(step, None, (xyz_s, valid_s, rngs))
+        return preds
+
+    return run
+
+
 def init_pipeline_variables(cfg: PipelineConfig, rng, n: int, feature_dim: int = 0):
     """Initialize both stages' variables against dummy static-shape inputs.
 

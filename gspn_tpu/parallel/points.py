@@ -70,6 +70,103 @@ def _sub_vars(bb_vars, name):
     return out
 
 
+def sharded_backbone_body(
+    cfg: RPointNetConfig,
+    axis: str,
+    nshards: int,
+    bb_vars,
+    xyz,
+    valid,
+    sa1_fps_idx=None,
+):
+    """The per-shard backbone computation (call INSIDE a ``shard_map``
+    over ``axis``): returns this shard's slice of the (B, N, C) feature
+    map, sharded on the point axis.
+
+    ``sa1_fps_idx``: optional precomputed replicated (B, P1) FPS indices
+    (e.g. the shared seeds+sa1 pass of the fused pipeline); computed here
+    when absent. Composable: the point-sharded whole-scene inference
+    (:func:`make_point_sharded_inference`) reuses this body between its
+    seed-sharded GSPN and RoI stages."""
+    i = jax.lax.axis_index(axis)
+    nsa = len(cfg.sa_layers)
+    p1 = cfg.sa_layers[0].npoint
+    if p1 % nshards:
+        raise ValueError(f"sa1 npoint={p1} not divisible by {nshards} shards")
+    per_q = p1 // nshards
+    n = xyz.shape[1]
+    if n % nshards:
+        raise ValueError(f"N={n} not divisible by {nshards} shards")
+    per_n = n // nshards
+
+    # ---- sa1: replicated FPS, sharded queries
+    fps_idx = (
+        sa1_fps_idx
+        if sa1_fps_idx is not None
+        else ops.farthest_point_sample(p1, xyz, valid, impl=cfg.ops_impl)
+    )
+    my_fps = jax.lax.dynamic_slice_in_dim(fps_idx, i * per_q, per_q, axis=1)
+    sa1 = _sa_module(cfg, 0)
+    nx, nf, nv = sa1.apply(
+        _sub_vars(bb_vars, "sa1"), xyz, None, valid, False, my_fps
+    )
+    xs = [xyz]
+    fs = [None]
+    vs = [valid]
+    # gather the small pooled level: (B, P1, C) + coords + validity
+    xs.append(jax.lax.all_gather(nx, axis, axis=1, tiled=True))
+    fs.append(jax.lax.all_gather(nf, axis, axis=1, tiled=True))
+    vs.append(
+        None
+        if nv is None
+        else jax.lax.all_gather(nv, axis, axis=1, tiled=True)
+    )
+
+    # ---- sa2..: small centroid sets, replicated
+    for li in range(1, nsa):
+        mod = _sa_module(cfg, li)
+        nx, nf, nv = mod.apply(
+            _sub_vars(bb_vars, f"sa{li + 1}"), xs[-1], fs[-1], vs[-1],
+            False,
+        )
+        xs.append(nx)
+        fs.append(nf)
+        vs.append(nv)
+
+    # ---- FP stack: shard large target levels
+    feat = fs[-1]
+    for fi in range(nsa):
+        lvl = nsa - 1 - fi  # target level
+        tgt_n = xs[lvl].shape[1]
+        mod = _fp_module(cfg, fi)
+        mvars = _sub_vars(bb_vars, f"fp{fi + 1}")
+        shard_this = tgt_n % nshards == 0 and tgt_n // nshards >= 8
+        if shard_this:
+            per_t = tgt_n // nshards
+            sl = lambda a: (
+                None
+                if a is None
+                else jax.lax.dynamic_slice_in_dim(a, i * per_t, per_t, axis=1)
+            )
+            feat = mod.apply(
+                mvars, sl(xs[lvl]), xs[lvl + 1], sl(fs[lvl]), feat,
+                sl(vs[lvl]), vs[lvl + 1], False,
+            )
+            if fi < nsa - 1:  # feeds the next FP level as its source
+                feat = jax.lax.all_gather(feat, axis, axis=1, tiled=True)
+        else:
+            feat = mod.apply(
+                mvars, xs[lvl], xs[lvl + 1], fs[lvl], feat, vs[lvl],
+                vs[lvl + 1], False,
+            )
+            if fi == nsa - 1:
+                # keep the contract: final map leaves sharded
+                feat = jax.lax.dynamic_slice_in_dim(
+                    feat, i * per_n, per_n, axis=1
+                )
+    return feat
+
+
 def make_sharded_backbone(
     cfg: RPointNetConfig, mesh: Mesh, axis: str = "space"
 ):
@@ -82,81 +179,12 @@ def make_sharded_backbone(
     ``cfg.sa_layers[0].npoint`` and N must be divisible by the mesh size.
     """
     nshards = mesh.shape[axis]
-    nsa = len(cfg.sa_layers)
     p1 = cfg.sa_layers[0].npoint
     if p1 % nshards:
         raise ValueError(f"sa1 npoint={p1} not divisible by {nshards} shards")
-    per_q = p1 // nshards
 
     def shard_fn(bb_vars, xyz, valid):
-        i = jax.lax.axis_index(axis)
-        b, n = xyz.shape[0], xyz.shape[1]
-        if n % nshards:
-            raise ValueError(f"N={n} not divisible by {nshards} shards")
-        per_n = n // nshards
-
-        # ---- sa1: replicated FPS, sharded queries
-        fps_idx = ops.farthest_point_sample(p1, xyz, valid, impl=cfg.ops_impl)
-        my_fps = jax.lax.dynamic_slice_in_dim(fps_idx, i * per_q, per_q, axis=1)
-        sa1 = _sa_module(cfg, 0)
-        nx, nf, nv = sa1.apply(
-            _sub_vars(bb_vars, "sa1"), xyz, None, valid, False, my_fps
-        )
-        xs = [xyz]
-        fs = [None]
-        vs = [valid]
-        # gather the small pooled level: (B, P1, C) + coords + validity
-        xs.append(jax.lax.all_gather(nx, axis, axis=1, tiled=True))
-        fs.append(jax.lax.all_gather(nf, axis, axis=1, tiled=True))
-        vs.append(
-            None
-            if nv is None
-            else jax.lax.all_gather(nv, axis, axis=1, tiled=True)
-        )
-
-        # ---- sa2..: small centroid sets, replicated
-        for li in range(1, nsa):
-            mod = _sa_module(cfg, li)
-            nx, nf, nv = mod.apply(
-                _sub_vars(bb_vars, f"sa{li + 1}"), xs[-1], fs[-1], vs[-1],
-                False,
-            )
-            xs.append(nx)
-            fs.append(nf)
-            vs.append(nv)
-
-        # ---- FP stack: shard large target levels
-        feat = fs[-1]
-        for fi in range(nsa):
-            lvl = nsa - 1 - fi  # target level
-            tgt_n = xs[lvl].shape[1]
-            mod = _fp_module(cfg, fi)
-            mvars = _sub_vars(bb_vars, f"fp{fi + 1}")
-            shard_this = tgt_n % nshards == 0 and tgt_n // nshards >= 8
-            if shard_this:
-                per_t = tgt_n // nshards
-                sl = lambda a: (
-                    None
-                    if a is None
-                    else jax.lax.dynamic_slice_in_dim(a, i * per_t, per_t, axis=1)
-                )
-                feat = mod.apply(
-                    mvars, sl(xs[lvl]), xs[lvl + 1], sl(fs[lvl]), feat,
-                    sl(vs[lvl]), vs[lvl + 1], False,
-                )
-                if fi < nsa - 1:  # feeds the next FP level as its source
-                    feat = jax.lax.all_gather(feat, axis, axis=1, tiled=True)
-            else:
-                feat = mod.apply(
-                    mvars, xs[lvl], xs[lvl + 1], fs[lvl], feat, vs[lvl],
-                    vs[lvl + 1], False,
-                )
-                if fi == nsa - 1:
-                    # keep the contract: final map leaves sharded
-                    feat = jax.lax.dynamic_slice_in_dim(
-                        feat, i * per_n, per_n, axis=1
-                    )
-        return feat
+        return sharded_backbone_body(cfg, axis, nshards, bb_vars, xyz, valid)
 
     sharded = jax.shard_map(
         shard_fn,

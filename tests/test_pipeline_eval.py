@@ -76,6 +76,39 @@ def test_pipeline_inference_shapes(rng):
     assert scenes[0].masks.shape[1] == int(np.asarray(batch["valid"])[0].sum())
 
 
+def test_streamed_inference_matches_per_call(rng):
+    """make_streamed_inference_fn scans T batches in one dispatch; every
+    field must equal the corresponding per-call make_inference_fn output
+    bit-for-bit (the scan only amortizes dispatch, never changes math)."""
+    from gspn_tpu.models.pipeline import make_streamed_inference_fn
+
+    b, n, t = 2, 192, 3
+    batches = [
+        {
+            k: jnp.asarray(v)
+            for k, v in synthetic.scene_batch(
+                rng, b, n_points=n, max_instances=3, extent=2.0
+            ).items()
+        }
+        for _ in range(t)
+    ]
+    variables = init_pipeline_variables(TINY, jax.random.PRNGKey(0), n)
+    infer = jax.jit(make_inference_fn(TINY))
+    streamed = jax.jit(make_streamed_inference_fn(TINY))
+    rngs = jax.random.split(jax.random.PRNGKey(7), t)
+    xyz_s = jnp.stack([bt["xyz"] for bt in batches])
+    valid_s = jnp.stack([bt["valid"] for bt in batches])
+    out_s = streamed(variables, xyz_s, valid_s, rngs)
+    for i, bt in enumerate(batches):
+        out_i = infer(variables, bt["xyz"], None, bt["valid"], rngs[i])
+        for a, bb in zip(
+            jax.tree_util.tree_leaves(out_i),
+            [np.asarray(leaf)[i] for leaf in jax.tree_util.tree_leaves(out_s)],
+            strict=True,
+        ):
+            np.testing.assert_array_equal(np.asarray(a), bb)
+
+
 def test_ap_evaluator_perfect_predictions(rng):
     # GT masks as predictions with high scores -> AP = 1 everywhere
     sc = synthetic.scene(rng, n_points=256, max_instances=3, extent=2.0)
