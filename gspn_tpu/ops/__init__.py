@@ -7,6 +7,7 @@ validity masks so padded points flow through the whole pipeline.
 
 from gspn_tpu.ops.ball_group import query_ball_group_multi
 from gspn_tpu.ops.ball_query import query_ball_point, query_ball_point_multi
+from gspn_tpu.ops.box_group import query_box_group
 from gspn_tpu.ops.chamfer import chamfer_loss, nn_distance
 from gspn_tpu.ops.common import pairwise_sqdist
 from gspn_tpu.ops.fps import farthest_point_sample
@@ -43,6 +44,7 @@ __all__ = [
     "query_ball_group_multi",
     "query_ball_point",
     "query_ball_point_multi",
+    "query_box_group",
     "random_prob_sample",
     "three_interpolate",
     "three_interpolate_weights",

@@ -30,6 +30,11 @@ from gspn_tpu.ops.common import masked_sqdist, resolve_impl, round_up
 from gspn_tpu.ops.grouping import group_point
 
 
+_TN = 128  # target rows per program (single-shot kernel); the kernel has
+#            no data-dependent loops, so taller tiles only trade VMEM for
+#            fewer program switches — swept on-chip (scripts/microbench)
+
+
 def _three_nn_kernel(tgt_ref, src_ref, dist_ref, idx_ref, *, m: int):
     """Grid (B, N//TN). Targets on sublanes, sources on lanes.
 
@@ -81,7 +86,7 @@ def _three_nn_pallas(xyz1, xyz2, valid2, interpret):
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
     mpad = round_up(m, 128)
-    tn = min(128, round_up(n, 8))
+    tn = min(_TN, round_up(n, 8))
     npad = round_up(n, tn)
 
     tgt = jnp.zeros((b, npad, 128), jnp.float32)
@@ -200,7 +205,7 @@ def _three_nn_pallas_tiled(xyz1, xyz2, valid2, interpret):
     m = xyz2.shape[1]
     mc = min(_MC, round_up(m, 128))
     mpad = round_up(m, mc)
-    tn = min(128, round_up(n, 8))
+    tn = min(_TN, round_up(n, 8))
     npad = round_up(n, tn)
 
     tgt = jnp.zeros((b, npad, 128), jnp.float32)
