@@ -46,6 +46,9 @@ def _lib():
     ]
     lib.compact_instance_ids.restype = ctypes.c_int32
     lib.compact_instance_ids.argtypes = [i32p, i64]
+    if hasattr(lib, "morton_order"):  # absent in pre-round-3 builds
+        lib.morton_order.restype = None
+        lib.morton_order.argtypes = [f32p, i64p, i64, i64p]
     return lib
 
 
@@ -120,6 +123,45 @@ def gather_pack(xyz, feats, sem, inst, idx, num_points: int):
         out_inst,
         valid.astype(bool),
     )
+
+
+def _spread3(v: np.ndarray) -> np.ndarray:
+    v = v & np.uint64(0x1FFFFF)
+    v = (v | (v << np.uint64(32))) & np.uint64(0x1F00000000FFFF)
+    v = (v | (v << np.uint64(16))) & np.uint64(0x1F0000FF0000FF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x100F00F00F00F00F)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x10C30C30C30C30C3)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x1249249249249249)
+    return v
+
+
+def morton_order(xyz: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Reorder ``idx`` ascending by the Morton (z-order) code of
+    ``xyz[idx]`` over the selection's own AABB (21 bits/axis, double-
+    precision quantization; stable on equal codes). Spatially coherent
+    point order makes the device kernels' exact AABB chunk pruning
+    effective (ops/ball_group.py, ops/box_group.py); the host sort is
+    free relative to a training step."""
+    lib = _lib()
+    xyz = np.ascontiguousarray(xyz, np.float32)
+    idx = np.ascontiguousarray(idx, np.int64)
+    if lib is not None and hasattr(lib, "morton_order"):
+        out = np.empty(len(idx), np.int64)
+        lib.morton_order(xyz, idx, len(idx), out)
+        return out
+    if len(idx) == 0:
+        return idx.copy()
+    p = xyz[idx].astype(np.float64)
+    lo = p.min(axis=0)
+    ext = p.max(axis=0) - lo
+    scale = np.where(ext > 0.0, 2097151.0 / np.where(ext > 0.0, ext, 1.0), 0.0)
+    q = np.clip((p - lo) * scale, 0.0, 2097151.0).astype(np.uint64)
+    code = (
+        _spread3(q[:, 0])
+        | (_spread3(q[:, 1]) << np.uint64(1))
+        | (_spread3(q[:, 2]) << np.uint64(2))
+    )
+    return idx[np.argsort(code, kind="stable")]
 
 
 def _compact_instance_ids_numpy(inst: np.ndarray) -> tuple[np.ndarray, int]:

@@ -126,6 +126,7 @@ class ScanNetCrops:
         num_points: int = 4096,
         block_size: float = 3.0,
         use_rgb: bool = True,
+        morton: bool = False,
     ):
         self.paths = sorted(pathlib.Path(npz_dir).glob("*.npz"))
         if not self.paths:
@@ -133,6 +134,13 @@ class ScanNetCrops:
         self.num_points = num_points
         self.block_size = block_size
         self.use_rgb = use_rgb
+        # Morton-sort each crop's points (host-side, free relative to a
+        # step): spatially coherent point order lets the device kernels'
+        # exact AABB chunk pruning skip far chunks (the whole-scene
+        # payoff regime measured in STATUS.md). Point ORDER is a dataset
+        # layout choice — first-K ball/box sampling then draws different
+        # (equally valid) neighbor subsets, like any other ordering.
+        self.morton = morton
         self._cache: dict[int, dict] = {}
 
     def __len__(self):
@@ -167,6 +175,8 @@ class ScanNetCrops:
             idx = native.subsample(
                 idx, self.num_points, int(rng.integers(1, 2**63 - 1))
             )
+        if self.morton:
+            idx = native.morton_order(xyz, idx)
         feats = (
             sc["rgb"] if self.use_rgb and "rgb" in sc else None
         )

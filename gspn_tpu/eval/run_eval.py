@@ -41,6 +41,8 @@ def parse_args(argv=None):
     p.add_argument("--num-scenes", type=int, default=16)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--num-points", type=int, default=4096)
+    p.add_argument("--morton", action="store_true",
+                   help="Morton-sort each crop (must match training if the model was trained on sorted crops)")
     p.add_argument("--num-seeds", type=int, default=64)
     p.add_argument("--num-classes", type=int, default=18)
     p.add_argument("--dump-dir", type=str, default=None)
@@ -118,7 +120,8 @@ def main(argv=None):
     if args.scannet_dir:
         from gspn_tpu.data.scannet import ScanNetCrops
 
-        ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points)
+        ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points,
+                          morton=args.morton)
 
         def batches():
             np_rng = np.random.default_rng(args.seed)

@@ -55,6 +55,8 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--num-points", type=int, default=4096)
+    p.add_argument("--morton", action="store_true",
+                   help="Morton-sort each crop (spatially coherent point order; enables AABB chunk pruning in the device kernels)")
     p.add_argument("--num-seeds", type=int, default=64)
     p.add_argument("--gt-size", type=int, default=256)
     p.add_argument("--kl-weight", type=float, default=1.0)
@@ -109,7 +111,8 @@ def make_sample_fn(args):
     if getattr(args, "scannet_dir", None):
         from gspn_tpu.data.scannet import ScanNetCrops
 
-        ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points)
+        ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points,
+                          morton=getattr(args, "morton", False))
         return lambda rng, b: ds.sample_batch(rng, b)
     if getattr(args, "shapenet_dir", None):
         from gspn_tpu.data.shapenet import ShapeNetObjects

@@ -43,6 +43,8 @@ def parse_args(argv=None):
     p.add_argument("--steps", type=int, default=1000)
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--num-points", type=int, default=4096)
+    p.add_argument("--morton", action="store_true",
+                   help="Morton-sort each crop (spatially coherent point order; enables AABB chunk pruning in the device kernels)")
     p.add_argument("--num-seeds", type=int, default=64)
     p.add_argument("--max-instances", type=int, default=32)
     p.add_argument("--num-classes", type=int, default=18)

@@ -10,8 +10,10 @@
 //
 // Build: scripts/build_native.sh  ->  native/libpointprep.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 
@@ -85,6 +87,60 @@ void gather_pack(const float* xyz, const float* feats, const int32_t* sem,
             out_valid[i] = 0;
         }
     }
+}
+
+// Spread the low 21 bits of v so they occupy every 3rd bit (Morton).
+static inline uint64_t spread3(uint64_t v) {
+    v &= 0x1FFFFFULL;
+    v = (v | (v << 32)) & 0x1F00000000FFFFULL;
+    v = (v | (v << 16)) & 0x1F0000FF0000FFULL;
+    v = (v | (v << 8)) & 0x100F00F00F00F00FULL;
+    v = (v | (v << 4)) & 0x10C30C30C30C30C3ULL;
+    v = (v | (v << 2)) & 0x1249249249249249ULL;
+    return v;
+}
+
+// Reorder idx[0..n_sel) ascending by the Morton (z-order) code of
+// xyz[idx[i]] over the selection's own AABB (21 bits/axis, quantization
+// in double precision — the NumPy fallback matches bit-for-bit). Stable:
+// equal codes keep input order. Spatially coherent point order makes the
+// device kernels' exact AABB chunk pruning effective (ops/ball_group.py,
+// ops/box_group.py).
+void morton_order(const float* xyz, const int64_t* idx, int64_t n_sel,
+                  int64_t* out_idx) {
+    if (n_sel <= 0) return;
+    double lo[3] = {1e300, 1e300, 1e300};
+    double hi[3] = {-1e300, -1e300, -1e300};
+    for (int64_t i = 0; i < n_sel; ++i) {
+        const float* p = xyz + 3 * idx[i];
+        for (int d = 0; d < 3; ++d) {
+            double v = (double)p[d];
+            if (v < lo[d]) lo[d] = v;
+            if (v > hi[d]) hi[d] = v;
+        }
+    }
+    double scale[3];
+    for (int d = 0; d < 3; ++d) {
+        double ext = hi[d] - lo[d];
+        scale[d] = ext > 0.0 ? 2097151.0 / ext : 0.0;
+    }
+    std::vector<std::pair<uint64_t, int64_t>> keys(n_sel);
+    for (int64_t i = 0; i < n_sel; ++i) {
+        const float* p = xyz + 3 * idx[i];
+        uint64_t code = 0;
+        for (int d = 0; d < 3; ++d) {
+            double q = ((double)p[d] - lo[d]) * scale[d];
+            if (q < 0.0) q = 0.0;
+            if (q > 2097151.0) q = 2097151.0;
+            code |= spread3((uint64_t)q) << d;
+        }
+        keys[i] = {code, i};
+    }
+    std::stable_sort(
+        keys.begin(), keys.end(),
+        [](const std::pair<uint64_t, int64_t>& a,
+           const std::pair<uint64_t, int64_t>& b) { return a.first < b.first; });
+    for (int64_t i = 0; i < n_sel; ++i) out_idx[i] = idx[keys[i].second];
 }
 
 // Compact instance ids to 1..K preserving first-appearance order

@@ -104,6 +104,51 @@ def test_native_fallback_parity(rng, monkeypatch):
     assert k_f == k_n
 
 
+def test_morton_order_native_numpy_parity(rng, monkeypatch):
+    """morton_order: native and NumPy paths agree bit-for-bit (double-
+    precision quantization, stable ties), output is a permutation, and
+    the order is spatially coherent (consecutive points are near)."""
+    xyz = rng.standard_normal((600, 3)).astype(np.float32)
+    idx = rng.choice(600, 512, replace=False).astype(np.int64)
+    out_n = native.morton_order(xyz, idx)
+    monkeypatch.setattr(native, "_lib", lambda: None)
+    out_f = native.morton_order(xyz, idx)
+    monkeypatch.undo()
+    np.testing.assert_array_equal(out_n, out_f)
+    assert sorted(out_n.tolist()) == sorted(idx.tolist())
+    # coherence: mean consecutive distance well below a random order's
+    d_sorted = np.linalg.norm(np.diff(xyz[out_n], axis=0), axis=1).mean()
+    d_input = np.linalg.norm(np.diff(xyz[idx], axis=0), axis=1).mean()
+    assert d_sorted < 0.5 * d_input
+    # degenerate inputs
+    assert native.morton_order(xyz, np.empty(0, np.int64)).size == 0
+    one = native.morton_order(xyz, np.asarray([7], np.int64))
+    np.testing.assert_array_equal(one, [7])
+
+
+def test_scannet_crops_morton(tmp_path, rng):
+    """morton=True crops hold the same point SET (same labels/validity
+    multiset) as the unsorted crop policy, in z-order."""
+    from gspn_tpu.data.scannet import ScanNetCrops, preprocess_to_npz
+
+    scan, *_ = _write_scannet_scene(tmp_path, rng)
+    preprocess_to_npz(scan, tmp_path / "npz")
+    seed = 123
+    ds_u = ScanNetCrops(str(tmp_path / "npz"), num_points=256)
+    ds_m = ScanNetCrops(str(tmp_path / "npz"), num_points=256, morton=True)
+    cu = ds_u.crop(np.random.default_rng(seed), 0)
+    cm = ds_m.crop(np.random.default_rng(seed), 0)
+    assert cu["valid"].sum() == cm["valid"].sum()
+    nv = int(cu["valid"].sum())
+    ru = cu["xyz"][:nv][np.lexsort(cu["xyz"][:nv].T)]
+    rm = cm["xyz"][:nv][np.lexsort(cm["xyz"][:nv].T)]
+    np.testing.assert_array_equal(ru, rm)
+    # coherent order
+    du = np.linalg.norm(np.diff(cu["xyz"][:nv], axis=0), axis=1).mean()
+    dm = np.linalg.norm(np.diff(cm["xyz"][:nv], axis=0), axis=1).mean()
+    assert dm < du
+
+
 def test_deterministic_iterator(rng):
     db = DeterministicBatches(
         lambda r, b: synthetic.scene_batch(r, b, n_points=64, max_instances=2),
