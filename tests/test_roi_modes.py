@@ -108,6 +108,43 @@ def test_point_roi_align_impls_bit_identical(rng):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
 
 
+def test_rpointnet_grad_through_pallas_roi_path(rng):
+    """Training-time grads must flow with the pallas (interpret) box_group
+    kernel in the RoI path: the kernel's inputs (scene coords, frozen/GT
+    boxes) carry no parameters, so autodiff never linearizes the
+    pallas_call — this pins that property against refactors that would
+    put trainable tensors upstream of the kernel."""
+    from gspn_tpu.data import synthetic
+    from gspn_tpu.models import rpointnet as rp
+
+    cfg = dataclasses.replace(tiny_rpointnet(3), ops_impl="pallas")
+    b = synthetic.scene_batch(np.random.default_rng(0), 2, n_points=192,
+                              max_instances=3)
+    xyz = jnp.asarray(b["xyz"])
+    valid = jnp.asarray(b["valid"])
+    boxes = jnp.tile(
+        jnp.asarray([-0.4, -0.4, -0.4, 0.4, 0.4, 0.4], jnp.float32),
+        (2, 6, 1),
+    )
+    m = RPointNet(cfg)
+    vs = m.init(jax.random.PRNGKey(0), xyz, boxes, valid=valid, train=False)
+
+    def loss(params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": vs["batch_stats"]},
+            xyz, boxes, valid=valid, train=True, mutable=["batch_stats"],
+        )
+        return (
+            jnp.sum(out.cls_logits**2)
+            + jnp.sum(out.mask_logits**2)
+            + jnp.sum(out.box_deltas**2)
+        )
+
+    g = jax.grad(loss)(vs["params"])
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
 def test_point_roi_align_random_subset(rng):
     b, n, s = 1, 64, 8
     xyz = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
