@@ -63,7 +63,13 @@ def main():
                 )
             )
             try:
-                dt = time_fn(fn, xyz, queries[name], valid, iters=args.iters)
+                # median of 4 blocks: the tunnel drifts between windows
+                # (STATUS.md measurement hygiene) — a single mean ranks
+                # knobs by when they ran, not how fast they are
+                dt = time_fn(
+                    fn, xyz, queries[name], valid,
+                    iters=max(args.iters // 4, 2), batches=4, stat="median",
+                )
                 row[name] = dt * 1e3
             except Exception as e:  # noqa: BLE001 — record and continue
                 row[name] = f"FAIL {type(e).__name__}"
