@@ -51,6 +51,11 @@ def parse_args(argv=None):
                         "official ScanNet submission format (per-scene "
                         ".txt + predicted_masks/, directly consumable by "
                         "the official evaluate_semantic_instance.py)")
+    p.add_argument("--point-sharded", action="store_true",
+                   help="run inference fully sharded over every local "
+                        "device (points+seeds+RoIs; parallel/scene.py). "
+                        "num_seeds, sa1 npoint and num_points must divide "
+                        "the device count; coordinates-only models")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--preset", choices=["default", "tiny"], default="default")
     p.add_argument("--box-percentile", type=float, default=0.0,
@@ -166,7 +171,29 @@ def main(argv=None):
 
     import time as _time
 
-    infer = jax.jit(make_inference_fn(cfg))
+    if args.point_sharded:
+        # fully point/seed/RoI-sharded inference over every local device;
+        # same latents as the single-device path (gspn draws eps with the
+        # same key and shape), so results match it to the documented
+        # float tolerance of the sharded feature map.
+        from gspn_tpu.parallel.mesh import make_mesh
+        from gspn_tpu.parallel.scene import make_point_sharded_inference
+
+        if fdim:
+            raise SystemExit(
+                "--point-sharded supports coordinate-only models "
+                f"(feature_dim=0), got feature_dim={fdim}"
+            )
+        sharded = make_point_sharded_inference(cfg, make_mesh(axis="space"))
+        latent = cfg.gspn.latent_dim
+
+        def infer(variables, xyz, feats, valid, key):
+            eps = jax.random.normal(
+                key, (xyz.shape[0], cfg.num_seeds, latent), jnp.float32
+            )
+            return sharded(variables, xyz, valid, eps)
+    else:
+        infer = jax.jit(make_inference_fn(cfg))
     all_preds, all_gts = [], []
     infer_s = 0.0
     infer_pts = 0

@@ -21,6 +21,19 @@ def test_run_eval_synthetic(tmp_path):
         assert {"masks", "scores", "classes"} <= set(z.files)
 
 
+def test_run_eval_point_sharded(tmp_path):
+    """--point-sharded runs the fully sharded pipeline over the 8-device
+    virtual mesh from the user-facing CLI and produces the same metric
+    keys (numeric parity with single-device is pinned separately in
+    tests/test_scene_sharded.py)."""
+    res = run_eval.main([
+        "--num-scenes", "2", "--batch", "2", "--num-points", "192",
+        "--num-seeds", "8", "--num-classes", "3", "--preset", "tiny",
+        "--point-sharded",
+    ])
+    assert set(res) >= {"ap", "ap_50", "ap_25", "per_class"}
+
+
 def test_scannet_submission_roundtrip(tmp_path):
     """The official-format writer/reader are exact inverses, and the
     written layout matches the official evaluator's expectations
