@@ -28,4 +28,27 @@ whole pipeline stays inside one XLA program.
 
 __version__ = "0.1.0"
 
-from gspn_tpu import ops  # noqa: F401
+
+def _honor_jax_platforms_env():
+    """Restore standard JAX behavior on images whose TPU plugin
+    force-selects itself at config level, clobbering an explicit
+    ``JAX_PLATFORMS`` request (this breaks CPU-mesh runs of the CLIs:
+    a "cpu" run silently lands on the tunneled chip). A no-op when the
+    env var is unset or the backend is already initialized."""
+    import os
+
+    want = os.environ.get("JAX_PLATFORMS")
+    if not want:
+        return
+    try:
+        import jax
+
+        if jax.config.jax_platforms != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass
+
+
+_honor_jax_platforms_env()
+
+from gspn_tpu import ops  # noqa: F401,E402

@@ -54,8 +54,8 @@ def parse_args(argv=None):
     p.add_argument("--point-sharded", action="store_true",
                    help="run inference fully sharded over every local "
                         "device (points+seeds+RoIs; parallel/scene.py). "
-                        "num_seeds, sa1 npoint and num_points must divide "
-                        "the device count; coordinates-only models")
+                        "num_seeds, sa1 npoint and num_points must be "
+                        "divisible by the device count")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--preset", choices=["default", "tiny"], default="default")
     p.add_argument("--box-percentile", type=float, default=0.0,
@@ -179,11 +179,6 @@ def main(argv=None):
         from gspn_tpu.parallel.mesh import make_mesh
         from gspn_tpu.parallel.scene import make_point_sharded_inference
 
-        if fdim:
-            raise SystemExit(
-                "--point-sharded supports coordinate-only models "
-                f"(feature_dim=0), got feature_dim={fdim}"
-            )
         sharded = make_point_sharded_inference(cfg, make_mesh(axis="space"))
         latent = cfg.gspn.latent_dim
 
@@ -191,6 +186,8 @@ def main(argv=None):
             eps = jax.random.normal(
                 key, (xyz.shape[0], cfg.num_seeds, latent), jnp.float32
             )
+            if fdim:
+                return sharded(variables, xyz, feats, valid, eps)
             return sharded(variables, xyz, valid, eps)
     else:
         infer = jax.jit(make_inference_fn(cfg))

@@ -58,6 +58,9 @@ class GSPNConfig:
     objectness_fc: tuple[int, ...] = (128,)
     feature_dim: int = 0  # extra per-point input features (e.g. RGB)
     use_bn: bool = True
+    # mesh-axis name for cross-shard BN train statistics (set by the
+    # point/seed-sharded trainer, parallel/train_points.py; None = local)
+    bn_axis: str | None = None
     ops_impl: str = "auto"
     dtype: Any = jnp.float32
 
@@ -78,12 +81,14 @@ class _PointNetEncoder(nn.Module):
     mlp: Sequence[int]
     use_bn: bool
     dtype: Any
+    bn_axis: str | None = None
 
     @nn.compact
     def __call__(self, pts, mask=None, train: bool = False):
-        h = PointMLP(self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp")(
-            pts.astype(self.dtype), mask=mask, train=train
-        )
+        h = PointMLP(
+            self.mlp, use_bn=self.use_bn, bn_axis=self.bn_axis,
+            dtype=self.dtype, name="mlp",
+        )(pts.astype(self.dtype), mask=mask, train=train)
         if mask is not None:
             return masked_max(h, mask, axis=-2)
         return jnp.max(h, axis=-2)
@@ -162,7 +167,8 @@ class GSPN(nn.Module):
 
         # ---- (b) center prediction from the coarsest (largest) context
         cen_feat = _PointNetEncoder(
-            cfg.center_mlp, cfg.use_bn, cfg.dtype, name="center_enc"
+            cfg.center_mlp, cfg.use_bn, cfg.dtype, bn_axis=cfg.bn_axis,
+            name="center_enc",
         )(crops[-1], train=train)
         offset = FCLayers(
             cfg.center_fc, 3, dtype=cfg.dtype, name="center_fc"
@@ -175,7 +181,8 @@ class GSPN(nn.Module):
             rec = crops[s].at[..., 0:3].add(-offset[:, :, None, :])
             encs.append(
                 _PointNetEncoder(
-                    cfg.encoder_mlp, cfg.use_bn, cfg.dtype, name=f"ctx_enc_{s}"
+                    cfg.encoder_mlp, cfg.use_bn, cfg.dtype,
+                    bn_axis=cfg.bn_axis, name=f"ctx_enc_{s}",
                 )(rec, train=train)
             )
         cond = FCLayers(
@@ -192,7 +199,8 @@ class GSPN(nn.Module):
         if gt_points is not None:
             gt_local = gt_points - center[:, :, None, :]
             gt_feat = _PointNetEncoder(
-                cfg.encoder_mlp, cfg.use_bn, cfg.dtype, name="recog_enc"
+                cfg.encoder_mlp, cfg.use_bn, cfg.dtype, bn_axis=cfg.bn_axis,
+                name="recog_enc",
             )(gt_local, mask=gt_valid, train=train)
             q_mu, q_logvar = _GaussianHead(
                 (cfg.cond_dim,),
@@ -290,31 +298,46 @@ def gspn_loss(
     obj_weight: float = 1.0,
     chamfer_weight: float = 1.0,
     impl: str = "auto",
+    axis_name: str | None = None,
 ):
     """Total CVAE loss + per-term metrics dict. Positive-seed terms
     (chamfer, KL, center) are averaged over positive seeds only; the
-    objectness BCE covers all valid seeds, as in the reference."""
+    objectness BCE covers all valid seeds, as in the reference.
+
+    ``axis_name``: mesh axis the SEEDS are sharded over (inside
+    ``shard_map``) — numerators and seed counts are ``psum``-ed so every
+    shard computes the identical global loss (parallel/train_points.py).
+    """
     pos = seed_objectness.astype(jnp.float32)
     if seed_valid is not None:
         sv = seed_valid.astype(jnp.float32)
         pos = pos * sv
     else:
         sv = jnp.ones_like(pos)
-    npos = jnp.maximum(jnp.sum(pos), 1.0)
-    nval = jnp.maximum(jnp.sum(sv), 1.0)
 
     ch = masked_chamfer(out.generated, gt_points, gt_valid, impl)
-    chamfer_term = jnp.sum(ch * pos) / npos
-
     assert out.q_mu is not None, "gspn_loss requires recognition-net outputs"
     kl = kl_gaussians(out.q_mu, out.q_logvar, out.prior_mu, out.prior_logvar)
-    kl_term = jnp.sum(kl * pos) / npos
-
     cerr = jnp.sum(huber(out.center - gt_center), axis=-1)
-    center_term = jnp.sum(cerr * pos) / npos
-
     obj_bce = optax_sigmoid_bce(out.objectness, seed_objectness.astype(jnp.float32))
-    obj_term = jnp.sum(obj_bce * sv) / nval
+
+    sums = (
+        jnp.sum(pos),
+        jnp.sum(sv),
+        jnp.sum(ch * pos),
+        jnp.sum(kl * pos),
+        jnp.sum(cerr * pos),
+        jnp.sum(obj_bce * sv),
+    )
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+    npos_raw, nval_raw, ch_sum, kl_sum, cen_sum, obj_sum = sums
+    npos = jnp.maximum(npos_raw, 1.0)
+    nval = jnp.maximum(nval_raw, 1.0)
+    chamfer_term = ch_sum / npos
+    kl_term = kl_sum / npos
+    center_term = cen_sum / npos
+    obj_term = obj_sum / nval
 
     total = (
         chamfer_weight * chamfer_term

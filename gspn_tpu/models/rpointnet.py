@@ -87,6 +87,9 @@ class RPointNetConfig:
     nms_iou: float = 0.25
     box_margin: float = 0.1
     use_bn: bool = True
+    # mesh-axis name for cross-shard BN train statistics (set by the
+    # point-sharded trainer, parallel/train_points.py; None = local)
+    bn_axis: str | None = None
     remat: bool = False  # rematerialize SA/FP activations (trade FLOPs for
     #                      HBM — lets much larger scenes fit in training)
     ops_impl: str = "auto"
@@ -127,6 +130,7 @@ class Backbone(nn.Module):
                 nsample=spec.nsample,
                 mlp=spec.mlp,
                 use_bn=cfg.use_bn,
+                bn_axis=cfg.bn_axis,
                 ops_impl=cfg.ops_impl,
                 dtype=cfg.dtype,
                 name=f"sa{i + 1}",
@@ -138,8 +142,8 @@ class Backbone(nn.Module):
         for i, mlp in enumerate(cfg.fp_mlps):
             lvl = len(cfg.sa_layers) - 1 - i  # target level
             feat = FP(
-                mlp, use_bn=cfg.use_bn, ops_impl=cfg.ops_impl,
-                dtype=cfg.dtype, name=f"fp{i + 1}",
+                mlp, use_bn=cfg.use_bn, bn_axis=cfg.bn_axis,
+                ops_impl=cfg.ops_impl, dtype=cfg.dtype, name=f"fp{i + 1}",
             )(
                 xs[lvl],
                 xs[lvl + 1],
@@ -308,7 +312,8 @@ class RoIHeads(nn.Module):
         cfg = self.config
         x = jnp.concatenate([canon.astype(cfg.dtype), roi_feats], axis=-1)
         pt = PointMLP(
-            cfg.roi_mlp, use_bn=cfg.use_bn, dtype=cfg.dtype, name="roi_mlp"
+            cfg.roi_mlp, use_bn=cfg.use_bn, bn_axis=cfg.bn_axis,
+            dtype=cfg.dtype, name="roi_mlp",
         )(x, train=train)  # (B, R, S, C')
         pooled = jnp.max(pt, axis=-2)  # (B, R, C')
         cls_logits = FCLayers(
@@ -326,6 +331,7 @@ class RoIHeads(nn.Module):
         mask_logits = PointMLP(
             cfg.mask_mlp,
             use_bn=cfg.use_bn,
+            bn_axis=cfg.bn_axis,
             last_activation=True,
             dtype=cfg.dtype,
             name="mask_mlp",
@@ -507,19 +513,21 @@ def rpointnet_loss(
     cls_weight: float = 1.0,
     box_weight: float = 1.0,
     mask_weight: float = 1.0,
+    axis_name: str | None = None,
 ):
-    """cls CE over fg+bg, box huber over fg, per-point mask BCE over fg."""
+    """cls CE over fg+bg, box huber over fg, per-point mask BCE over fg.
+
+    ``axis_name``: mesh axis the RoIs are sharded over (inside
+    ``shard_map``) — numerators and fg/bg counts are ``psum``-ed so every
+    shard computes the identical global loss (parallel/train_points.py).
+    """
     train_mask = jnp.logical_or(match.is_fg, match.is_bg).astype(jnp.float32)
-    ntr = jnp.maximum(jnp.sum(train_mask), 1.0)
     fg = match.is_fg.astype(jnp.float32)
-    nfg = jnp.maximum(jnp.sum(fg), 1.0)
 
     logp = jax.nn.log_softmax(out.cls_logits, axis=-1)
     ce = -jnp.take_along_axis(logp, match.cls_target[..., None], axis=-1)[..., 0]
-    cls_term = jnp.sum(ce * train_mask) / ntr
 
     box_err = jnp.sum(huber(out.box_deltas - match.box_target), axis=-1)
-    box_term = jnp.sum(box_err * fg) / nfg
 
     # mask targets: sampled point's instance == matched instance (id = i+1)
     r = out.roi_idx.shape[1]
@@ -535,7 +543,23 @@ def rpointnet_loss(
     bce = (
         jnp.maximum(logit, 0.0) - logit * target + jnp.log1p(jnp.exp(-jnp.abs(logit)))
     )
-    mask_term = jnp.sum(jnp.mean(bce, axis=-1) * fg) / nfg
+
+    sums = (
+        jnp.sum(train_mask),
+        jnp.sum(fg),
+        jnp.sum(match.is_bg.astype(jnp.float32)),
+        jnp.sum(ce * train_mask),
+        jnp.sum(box_err * fg),
+        jnp.sum(jnp.mean(bce, axis=-1) * fg),
+    )
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+    ntr_raw, nfg_raw, nbg, cls_sum, box_sum, mask_sum = sums
+    ntr = jnp.maximum(ntr_raw, 1.0)
+    nfg = jnp.maximum(nfg_raw, 1.0)
+    cls_term = cls_sum / ntr
+    box_term = box_sum / nfg
+    mask_term = mask_sum / nfg
 
     total = cls_weight * cls_term + box_weight * box_term + mask_weight * mask_term
     return total, {
@@ -543,6 +567,6 @@ def rpointnet_loss(
         "cls": cls_term,
         "box": box_term,
         "mask": mask_term,
-        "num_fg": jnp.sum(fg),
-        "num_bg": jnp.sum(match.is_bg),
+        "num_fg": nfg_raw,
+        "num_bg": nbg,
     }

@@ -31,10 +31,18 @@ class MaskedBatchNorm(nn.Module):
 
     Mirrors ``tf_util.batch_norm_for_conv2d`` (moving-average inference
     stats); ``momentum`` plays the role of the reference's ``bn_decay``.
+
+    ``axis_name``: name of a mapped/sharded mesh axis (inside
+    ``shard_map``) to compute train statistics over — partial sums and
+    counts are ``psum``-ed so sharded training sees exactly the
+    single-device reduction set (same convention as
+    ``flax.linen.BatchNorm(axis_name=...)``). Inference stats are the
+    stored running averages either way.
     """
 
     momentum: float = BN_MOMENTUM
     epsilon: float = 1e-3  # TF1 batch_norm default, as tf_util used it
+    axis_name: str | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -53,13 +61,22 @@ class MaskedBatchNorm(nn.Module):
         if train:
             red = tuple(range(x.ndim - 1))
             if mask is None:
-                mean = jnp.mean(xf, axis=red)
-                mean2 = jnp.mean(xf * xf, axis=red)
+                w = None
+                tot = jnp.asarray(float(x.size // c), jnp.float32)
+                s1 = jnp.sum(xf, axis=red)
+                s2 = jnp.sum(xf * xf, axis=red)
             else:
                 w = mask.astype(jnp.float32)[..., None]
-                tot = jnp.maximum(jnp.sum(w), 1.0)
-                mean = jnp.sum(xf * w, axis=red) / tot
-                mean2 = jnp.sum(xf * xf * w, axis=red) / tot
+                tot = jnp.sum(w)
+                s1 = jnp.sum(xf * w, axis=red)
+                s2 = jnp.sum(xf * xf * w, axis=red)
+            if self.axis_name is not None:
+                s1 = jax.lax.psum(s1, self.axis_name)
+                s2 = jax.lax.psum(s2, self.axis_name)
+                tot = jax.lax.psum(tot, self.axis_name)
+            tot = jnp.maximum(tot, 1.0)
+            mean = s1 / tot
+            mean2 = s2 / tot
             var = jnp.maximum(mean2 - mean * mean, 0.0)
             if not self.is_initializing():
                 m = self.momentum
@@ -82,6 +99,7 @@ class PointMLP(nn.Module):
     features: Sequence[int]
     use_bn: bool = True
     bn_momentum: float = BN_MOMENTUM
+    bn_axis: str | None = None  # cross-shard BN stats (see MaskedBatchNorm)
     last_activation: bool = True
     dtype: Any = jnp.float32
 
@@ -109,7 +127,8 @@ class PointMLP(nn.Module):
             last = i == n - 1
             if self.use_bn:
                 x = MaskedBatchNorm(
-                    momentum=self.bn_momentum, dtype=self.dtype, name=f"bn_{i}"
+                    momentum=self.bn_momentum, axis_name=self.bn_axis,
+                    dtype=self.dtype, name=f"bn_{i}",
                 )(x, mask=mask, train=train)
             if not last or self.last_activation:
                 x = nn.relu(x)
@@ -126,6 +145,7 @@ class FCLayers(nn.Module):
     hidden: Sequence[int]
     out: int
     use_bn: bool = False
+    bn_axis: str | None = None  # cross-shard BN stats (see MaskedBatchNorm)
     dropout: float = 0.0  # reference: tf_util.dropout before head outputs
     dtype: Any = jnp.float32
 
@@ -140,9 +160,9 @@ class FCLayers(nn.Module):
                 name=f"fc_{i}",
             )(x)
             if self.use_bn:
-                x = MaskedBatchNorm(dtype=self.dtype, name=f"bn_{i}")(
-                    x, train=train
-                )
+                x = MaskedBatchNorm(
+                    axis_name=self.bn_axis, dtype=self.dtype, name=f"bn_{i}"
+                )(x, train=train)
             x = nn.relu(x)
             if self.dropout > 0.0:
                 x = nn.Dropout(rate=self.dropout, deterministic=not train)(x)

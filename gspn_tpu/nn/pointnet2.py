@@ -101,6 +101,7 @@ class PointNetSAModule(nn.Module):
     use_knn: bool = False
     use_xyz: bool = True
     use_bn: bool = True
+    bn_axis: str | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
     dtype: Any = jnp.float32
 
@@ -142,7 +143,8 @@ class PointNetSAModule(nn.Module):
 
         new_points = new_points.astype(self.dtype)
         new_points = PointMLP(
-            self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp"
+            self.mlp, use_bn=self.use_bn, bn_axis=self.bn_axis,
+            dtype=self.dtype, name="mlp",
         )(new_points, mask=group_mask, train=train)
 
         k_axis = 2  # (B, P, K, C)
@@ -170,7 +172,8 @@ class PointNetSAModule(nn.Module):
 
         if self.mlp2:
             pooled = PointMLP(
-                self.mlp2, use_bn=self.use_bn, dtype=self.dtype, name="mlp2"
+                self.mlp2, use_bn=self.use_bn, bn_axis=self.bn_axis,
+                dtype=self.dtype, name="mlp2",
             )(pooled, mask=new_valid, train=train)
         if new_valid is not None:
             pooled = jnp.where(new_valid[..., None], pooled, 0.0)
@@ -187,6 +190,7 @@ class PointNetSAModuleMSG(nn.Module):
     mlp_list: Sequence[Sequence[int]]
     use_xyz: bool = True
     use_bn: bool = True
+    bn_axis: str | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
     dtype: Any = jnp.float32
 
@@ -213,7 +217,8 @@ class PointNetSAModuleMSG(nn.Module):
             else:
                 feats = grouped_xyz
             feats = PointMLP(
-                mlp, use_bn=self.use_bn, dtype=self.dtype, name=f"mlp_s{s}"
+                mlp, use_bn=self.use_bn, bn_axis=self.bn_axis,
+                dtype=self.dtype, name=f"mlp_s{s}",
             )(feats.astype(self.dtype), train=train)
             outs.append(jnp.max(feats, axis=2))
         out = jnp.concatenate(outs, axis=-1)
@@ -239,6 +244,7 @@ class PointNetFPModule(nn.Module):
 
     mlp: Sequence[int]
     use_bn: bool = True
+    bn_axis: str | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
     interp: str = "auto"
     dtype: Any = jnp.float32
@@ -276,7 +282,8 @@ class PointNetFPModule(nn.Module):
         else:
             feats = interp
         out = PointMLP(
-            self.mlp, use_bn=self.use_bn, dtype=self.dtype, name="mlp"
+            self.mlp, use_bn=self.use_bn, bn_axis=self.bn_axis,
+            dtype=self.dtype, name="mlp",
         )(feats.astype(self.dtype), mask=valid1, train=train)
         if valid1 is not None:
             out = jnp.where(valid1[..., None], out, 0.0)

@@ -51,6 +51,7 @@ def _sa_module(cfg: RPointNetConfig, i: int) -> PointNetSAModule:
         nsample=spec.nsample,
         mlp=spec.mlp,
         use_bn=cfg.use_bn,
+        bn_axis=cfg.bn_axis,
         ops_impl=cfg.ops_impl,
         dtype=cfg.dtype,
     )
@@ -58,8 +59,8 @@ def _sa_module(cfg: RPointNetConfig, i: int) -> PointNetSAModule:
 
 def _fp_module(cfg: RPointNetConfig, i: int) -> PointNetFPModule:
     return PointNetFPModule(
-        cfg.fp_mlps[i], use_bn=cfg.use_bn, ops_impl=cfg.ops_impl,
-        dtype=cfg.dtype,
+        cfg.fp_mlps[i], use_bn=cfg.use_bn, bn_axis=cfg.bn_axis,
+        ops_impl=cfg.ops_impl, dtype=cfg.dtype,
     )
 
 
@@ -78,16 +79,26 @@ def sharded_backbone_body(
     xyz,
     valid,
     sa1_fps_idx=None,
+    features=None,
+    train: bool = False,
 ):
     """The per-shard backbone computation (call INSIDE a ``shard_map``
     over ``axis``): returns this shard's slice of the (B, N, C) feature
-    map, sharded on the point axis.
+    map, sharded on the point axis — or, with ``train=True``, the tuple
+    ``(feature_slice, new_batch_stats)`` where the stats were computed
+    over the full (cross-shard) reduction set via the BN ``psum`` hook
+    and are therefore identical on every shard.
 
     ``sa1_fps_idx``: optional precomputed replicated (B, P1) FPS indices
     (e.g. the shared seeds+sa1 pass of the fused pipeline); computed here
     when absent. Composable: the point-sharded whole-scene inference
     (:func:`make_point_sharded_inference`) reuses this body between its
     seed-sharded GSPN and RoI stages."""
+    if train and cfg.use_bn and cfg.bn_axis != axis:
+        raise ValueError(
+            "sharded training with BN needs cross-shard statistics: pass "
+            f"cfg with bn_axis={axis!r} (got {cfg.bn_axis!r})"
+        )
     i = jax.lax.axis_index(axis)
     nsa = len(cfg.sa_layers)
     p1 = cfg.sa_layers[0].npoint
@@ -99,6 +110,17 @@ def sharded_backbone_body(
         raise ValueError(f"N={n} not divisible by {nshards} shards")
     per_n = n // nshards
 
+    new_stats = {}
+
+    def _apply(mod, name, *args):
+        v = _sub_vars(bb_vars, name)
+        if train:
+            out, mut = mod.apply(v, *args, mutable=["batch_stats"])
+            if "batch_stats" in v:
+                new_stats[name] = mut["batch_stats"]
+            return out
+        return mod.apply(v, *args)
+
     # ---- sa1: replicated FPS, sharded queries
     fps_idx = (
         sa1_fps_idx
@@ -107,11 +129,9 @@ def sharded_backbone_body(
     )
     my_fps = jax.lax.dynamic_slice_in_dim(fps_idx, i * per_q, per_q, axis=1)
     sa1 = _sa_module(cfg, 0)
-    nx, nf, nv = sa1.apply(
-        _sub_vars(bb_vars, "sa1"), xyz, None, valid, False, my_fps
-    )
+    nx, nf, nv = _apply(sa1, "sa1", xyz, features, valid, train, my_fps)
     xs = [xyz]
-    fs = [None]
+    fs = [features]
     vs = [valid]
     # gather the small pooled level: (B, P1, C) + coords + validity
     xs.append(jax.lax.all_gather(nx, axis, axis=1, tiled=True))
@@ -125,9 +145,8 @@ def sharded_backbone_body(
     # ---- sa2..: small centroid sets, replicated
     for li in range(1, nsa):
         mod = _sa_module(cfg, li)
-        nx, nf, nv = mod.apply(
-            _sub_vars(bb_vars, f"sa{li + 1}"), xs[-1], fs[-1], vs[-1],
-            False,
+        nx, nf, nv = _apply(
+            mod, f"sa{li + 1}", xs[-1], fs[-1], vs[-1], train
         )
         xs.append(nx)
         fs.append(nf)
@@ -139,7 +158,6 @@ def sharded_backbone_body(
         lvl = nsa - 1 - fi  # target level
         tgt_n = xs[lvl].shape[1]
         mod = _fp_module(cfg, fi)
-        mvars = _sub_vars(bb_vars, f"fp{fi + 1}")
         shard_this = tgt_n % nshards == 0 and tgt_n // nshards >= 8
         if shard_this:
             per_t = tgt_n // nshards
@@ -148,22 +166,24 @@ def sharded_backbone_body(
                 if a is None
                 else jax.lax.dynamic_slice_in_dim(a, i * per_t, per_t, axis=1)
             )
-            feat = mod.apply(
-                mvars, sl(xs[lvl]), xs[lvl + 1], sl(fs[lvl]), feat,
-                sl(vs[lvl]), vs[lvl + 1], False,
+            feat = _apply(
+                mod, f"fp{fi + 1}", sl(xs[lvl]), xs[lvl + 1], sl(fs[lvl]),
+                feat, sl(vs[lvl]), vs[lvl + 1], train,
             )
             if fi < nsa - 1:  # feeds the next FP level as its source
                 feat = jax.lax.all_gather(feat, axis, axis=1, tiled=True)
         else:
-            feat = mod.apply(
-                mvars, xs[lvl], xs[lvl + 1], fs[lvl], feat, vs[lvl],
-                vs[lvl + 1], False,
+            feat = _apply(
+                mod, f"fp{fi + 1}", xs[lvl], xs[lvl + 1], fs[lvl], feat,
+                vs[lvl], vs[lvl + 1], train,
             )
             if fi == nsa - 1:
                 # keep the contract: final map leaves sharded
                 feat = jax.lax.dynamic_slice_in_dim(
                     feat, i * per_n, per_n, axis=1
                 )
+    if train:
+        return feat, new_stats
     return feat
 
 

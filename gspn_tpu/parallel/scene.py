@@ -78,13 +78,13 @@ def _collection(variables, names):
 def make_point_sharded_inference(
     cfg: PipelineConfig, mesh: Mesh, axis: str = "space"
 ):
-    """Returns ``infer(variables, xyz, valid, z_eps) ->
-    InstancePredictions`` with points, seeds and RoIs all sharded over
-    ``axis``. ``cfg.num_seeds``, ``sa_layers[0].npoint`` and N must be
-    divisible by the mesh size; ``features`` are not supported (the
-    flagship ScanNet datapath is coordinates-only). ``z_eps`` is
-    ``(B, num_seeds, latent)`` pre-drawn noise (replicated) so sharded
-    and single-device runs can use identical latents."""
+    """Returns ``infer(variables, xyz, valid, z_eps)`` — or, when the
+    configs declare ``feature_dim > 0``, ``infer(variables, xyz,
+    features, valid, z_eps)`` — producing ``InstancePredictions`` with
+    points, seeds and RoIs all sharded over ``axis``. ``cfg.num_seeds``,
+    ``sa_layers[0].npoint`` and N must be divisible by the mesh size.
+    ``z_eps`` is ``(B, num_seeds, latent)`` pre-drawn noise (replicated)
+    so sharded and single-device runs can use identical latents."""
     nshards = mesh.shape[axis]
     rcfg = cfg.rpointnet
     if cfg.num_seeds % nshards:
@@ -95,10 +95,11 @@ def make_point_sharded_inference(
     if p1 % nshards:
         raise ValueError(f"sa1 npoint={p1} not divisible by {nshards} shards")
     per_s = cfg.num_seeds // nshards
+    use_features = cfg.gspn.feature_dim > 0 or rcfg.feature_dim > 0
     gspn = GSPN(cfg.gspn)
     heads = RoIHeads(rcfg)
 
-    def shard_fn(variables, xyz, valid, z_eps):
+    def shard_fn(variables, xyz, features, valid, z_eps):
         i = jax.lax.axis_index(axis)
 
         # ---- seeds: replicated FPS, shared with backbone sa1
@@ -108,8 +109,8 @@ def make_point_sharded_inference(
         my_seeds = jax.lax.dynamic_slice_in_dim(seed_idx, i * per_s, per_s, axis=1)
         my_eps = jax.lax.dynamic_slice_in_dim(z_eps, i * per_s, per_s, axis=1)
         gout = gspn.apply(
-            variables["gspn"], xyz, my_seeds, valid=valid, z_eps=my_eps,
-            train=False,
+            variables["gspn"], xyz, my_seeds, features=features,
+            valid=valid, z_eps=my_eps, train=False,
         )
         boxes_l = proposal_boxes(
             gout.generated, rcfg.box_margin, cfg.box_percentile
@@ -123,7 +124,7 @@ def make_point_sharded_inference(
         rv = variables["rpointnet"]
         feat_l = sharded_backbone_body(
             rcfg, axis, nshards, _collection(rv, ("backbone",)),
-            xyz, valid, sa1_fps_idx=sa1_idx,
+            xyz, valid, sa1_fps_idx=sa1_idx, features=features,
         )
         feat = jax.lax.all_gather(feat_l, axis, axis=1, tiled=True)
 
@@ -187,17 +188,26 @@ def make_point_sharded_inference(
             valid=pvalid,
         )
 
+    out_specs = InstancePredictions(
+        masks=P(None, axis, None),
+        scores=P(None, axis),
+        classes=P(None, axis),
+        boxes=P(None, axis, None),
+        valid=P(None, axis),
+    )
+    if use_features:
+        sharded = jax.shard_map(
+            shard_fn, mesh=mesh, in_specs=(P(),) * 5, out_specs=out_specs,
+            check_vma=False,
+        )
+        return jax.jit(sharded)
     sharded = jax.shard_map(
-        shard_fn,
-        mesh=mesh,
-        in_specs=(P(), P(), P(), P()),
-        out_specs=InstancePredictions(
-            masks=P(None, axis, None),
-            scores=P(None, axis),
-            classes=P(None, axis),
-            boxes=P(None, axis, None),
-            valid=P(None, axis),
+        lambda variables, xyz, valid, z_eps: shard_fn(
+            variables, xyz, None, valid, z_eps
         ),
+        mesh=mesh,
+        in_specs=(P(),) * 4,
+        out_specs=out_specs,
         check_vma=False,
     )
     return jax.jit(sharded)

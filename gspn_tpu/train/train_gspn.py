@@ -68,6 +68,11 @@ def parse_args(argv=None):
                         "(0 = off; the reference's eval_one_epoch analog)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    p.add_argument("--point-sharded", action="store_true",
+                   help="shard the per-scene SEED work over all devices "
+                        "(batch replicated; parallel/train_points.py) — "
+                        "the whole-scene/long-context regime where one "
+                        "scene's work, not the batch, is what scales")
     p.add_argument("--synthetic", action="store_true", default=True)
     p.add_argument("--scannet-dir", type=str, default=None,
                    help="preprocessed ScanNet crops dir (overrides synthetic)")
@@ -218,9 +223,20 @@ def main(argv=None):
     loss_fn = make_gspn_loss_fn(
         model, args.num_seeds, args.gt_size, {"kl_weight": args.kl_weight}
     )
+    if args.dp and args.point_sharded:
+        raise SystemExit("--dp and --point-sharded are mutually exclusive")
     if args.dp:
         mesh = make_mesh()
         step_fn = make_dp_train_step(loss_fn, tx, mesh, bn_momentum_fn=bn_fn)
+    elif args.point_sharded:
+        from gspn_tpu.parallel.train_points import (
+            make_point_sharded_gspn_train_step,
+        )
+
+        step_fn = make_point_sharded_gspn_train_step(
+            cfg, tx, make_mesh(axis="space"), args.num_seeds, args.gt_size,
+            loss_weights={"kl_weight": args.kl_weight}, bn_momentum_fn=bn_fn,
+        )
     else:
         step_fn = make_train_step(loss_fn, tx, bn_momentum_fn=bn_fn)
 

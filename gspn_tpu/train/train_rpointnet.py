@@ -59,6 +59,10 @@ def parse_args(argv=None):
                    help="validation-loss interval on a held-out batch (0 = off)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp", action="store_true")
+    p.add_argument("--point-sharded", action="store_true",
+                   help="shard one scene's work over all devices (batch "
+                        "replicated): frozen-GSPN seeds, backbone points "
+                        "and RoIs all shard (parallel/train_points.py)")
     p.add_argument("--synthetic", action="store_true", default=True)
     p.add_argument("--scannet-dir", type=str, default=None)
     p.add_argument("--partnet-dir", type=str, default=None)
@@ -161,8 +165,21 @@ def main(argv=None):
         model, args.max_instances, frozen,
         mix_gt_boxes=not args.no_mix_gt_boxes,
     )
+    if args.dp and args.point_sharded:
+        raise SystemExit("--dp and --point-sharded are mutually exclusive")
     if args.dp:
         step_fn = make_dp_train_step(loss_fn, tx, make_mesh(), bn_momentum_fn=bn_fn)
+    elif args.point_sharded:
+        from gspn_tpu.parallel.train_points import (
+            make_point_sharded_rpointnet_train_step,
+        )
+
+        step_fn = make_point_sharded_rpointnet_train_step(
+            cfg, tx, make_mesh(axis="space"), args.max_instances,
+            frozen_gspn=frozen,
+            mix_gt_boxes=not args.no_mix_gt_boxes,
+            bn_momentum_fn=bn_fn,
+        )
     else:
         step_fn = make_train_step(loss_fn, tx, bn_momentum_fn=bn_fn)
 

@@ -23,11 +23,11 @@ def _single_device_fn(cfg, z_eps):
     from gspn_tpu.models.pipeline import project_roi_masks, shared_fps_indices
     from gspn_tpu.models.rpointnet import RPointNet, apply_box_deltas
 
-    def single(variables, xyz, valid):
+    def single(variables, xyz, valid, features=None):
         seed_idx, sa1_idx = shared_fps_indices(cfg, xyz, valid)
         gout = GSPN(cfg.gspn).apply(
-            variables["gspn"], xyz, seed_idx, valid=valid, z_eps=z_eps,
-            train=False,
+            variables["gspn"], xyz, seed_idx, features=features, valid=valid,
+            z_eps=z_eps, train=False,
         )
         boxes = proposal_boxes(
             gout.generated, cfg.rpointnet.box_margin, cfg.box_percentile
@@ -35,8 +35,8 @@ def _single_device_fn(cfg, z_eps):
         obj = jax.nn.sigmoid(gout.objectness)
         keep = ops.nms_3d_batched(boxes, obj, cfg.rpointnet.nms_iou)
         out = RPointNet(cfg.rpointnet).apply(
-            variables["rpointnet"], xyz, boxes, valid=valid, train=False,
-            sa1_fps_idx=sa1_idx,
+            variables["rpointnet"], xyz, boxes, features=features,
+            valid=valid, train=False, sa1_fps_idx=sa1_idx,
         )
         cls_prob = jax.nn.softmax(out.cls_logits, axis=-1)[..., 1:]
         cls = (jnp.argmax(cls_prob, axis=-1) + 1).astype(jnp.int32)
@@ -57,23 +57,35 @@ def _single_device_fn(cfg, z_eps):
     return single
 
 
-def _compare(cfg, b, n, rng):
+def _compare(cfg, b, n, rng, feature_dim=0):
     batch = {
         k: jnp.asarray(v)
         for k, v in synthetic.scene_batch(
             rng, b, n_points=n, max_instances=3, extent=2.0
         ).items()
     }
-    variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), n)
+    feats = None
+    if feature_dim:
+        feats = jnp.asarray(
+            np.random.default_rng(3)
+            .random((b, n, feature_dim))
+            .astype(np.float32)
+        )
+    variables = init_pipeline_variables(
+        cfg, jax.random.PRNGKey(0), n, feature_dim=feature_dim
+    )
     z_eps = jax.random.normal(
         jax.random.PRNGKey(5), (b, cfg.num_seeds, cfg.gspn.latent_dim)
     )
     m1, s1, c1, v1 = jax.jit(_single_device_fn(cfg, z_eps))(
-        variables, batch["xyz"], batch["valid"]
+        variables, batch["xyz"], batch["valid"], feats
     )
     mesh = make_mesh(8, axis="space")
     infer = make_point_sharded_inference(cfg, mesh, axis="space")
-    preds = infer(variables, batch["xyz"], batch["valid"], z_eps)
+    if feature_dim:
+        preds = infer(variables, batch["xyz"], feats, batch["valid"], z_eps)
+    else:
+        preds = infer(variables, batch["xyz"], batch["valid"], z_eps)
     np.testing.assert_array_equal(np.asarray(preds.valid), np.asarray(v1))
     np.testing.assert_array_equal(np.asarray(preds.classes), np.asarray(c1))
     np.testing.assert_allclose(
@@ -99,6 +111,21 @@ def test_point_sharded_whole_scene(rng):
     seed/RoI stages shard the proposal axis — the full composition."""
     cfg = dataclasses.replace(TINY, num_seeds=16)
     _compare(cfg, b=1, n=2048, rng=rng)
+
+
+def test_point_sharded_with_features(rng):
+    """Feature-carrying configs (e.g. RGB) shard the same way: features
+    are replicated inputs (small), the feature-conditioned backbone map
+    still shards on points — and the result matches single-device
+    exactly, like the coordinate-only cases."""
+    fdim = 3
+    cfg = dataclasses.replace(
+        TINY,
+        num_seeds=16,
+        gspn=dataclasses.replace(TINY.gspn, feature_dim=fdim),
+        rpointnet=dataclasses.replace(TINY.rpointnet, feature_dim=fdim),
+    )
+    _compare(cfg, b=2, n=192, rng=rng, feature_dim=fdim)
 
 
 def test_point_sharded_rejects_indivisible():
