@@ -60,7 +60,7 @@ class GSPNConfig:
     use_bn: bool = True
     # mesh-axis name for cross-shard BN train statistics (set by the
     # point/seed-sharded trainer, parallel/train_points.py; None = local)
-    bn_axis: str | None = None
+    bn_axis: str | tuple[str, ...] | None = None
     ops_impl: str = "auto"
     dtype: Any = jnp.float32
 
@@ -81,7 +81,7 @@ class _PointNetEncoder(nn.Module):
     mlp: Sequence[int]
     use_bn: bool
     dtype: Any
-    bn_axis: str | None = None
+    bn_axis: str | tuple[str, ...] | None = None
 
     @nn.compact
     def __call__(self, pts, mask=None, train: bool = False):
@@ -298,7 +298,7 @@ def gspn_loss(
     obj_weight: float = 1.0,
     chamfer_weight: float = 1.0,
     impl: str = "auto",
-    axis_name: str | None = None,
+    axis_name: str | tuple[str, ...] | None = None,
 ):
     """Total CVAE loss + per-term metrics dict. Positive-seed terms
     (chamfer, KL, center) are averaged over positive seeds only; the

@@ -89,7 +89,7 @@ class RPointNetConfig:
     use_bn: bool = True
     # mesh-axis name for cross-shard BN train statistics (set by the
     # point-sharded trainer, parallel/train_points.py; None = local)
-    bn_axis: str | None = None
+    bn_axis: str | tuple[str, ...] | None = None
     remat: bool = False  # rematerialize SA/FP activations (trade FLOPs for
     #                      HBM — lets much larger scenes fit in training)
     ops_impl: str = "auto"
@@ -513,7 +513,7 @@ def rpointnet_loss(
     cls_weight: float = 1.0,
     box_weight: float = 1.0,
     mask_weight: float = 1.0,
-    axis_name: str | None = None,
+    axis_name: str | tuple[str, ...] | None = None,
 ):
     """cls CE over fg+bg, box huber over fg, per-point mask BCE over fg.
 

@@ -42,7 +42,7 @@ class MaskedBatchNorm(nn.Module):
 
     momentum: float = BN_MOMENTUM
     epsilon: float = 1e-3  # TF1 batch_norm default, as tf_util used it
-    axis_name: str | None = None
+    axis_name: str | tuple[str, ...] | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -99,7 +99,7 @@ class PointMLP(nn.Module):
     features: Sequence[int]
     use_bn: bool = True
     bn_momentum: float = BN_MOMENTUM
-    bn_axis: str | None = None  # cross-shard BN stats (see MaskedBatchNorm)
+    bn_axis: str | tuple[str, ...] | None = None  # cross-shard BN stats (see MaskedBatchNorm)
     last_activation: bool = True
     dtype: Any = jnp.float32
 
@@ -145,7 +145,7 @@ class FCLayers(nn.Module):
     hidden: Sequence[int]
     out: int
     use_bn: bool = False
-    bn_axis: str | None = None  # cross-shard BN stats (see MaskedBatchNorm)
+    bn_axis: str | tuple[str, ...] | None = None  # cross-shard BN stats (see MaskedBatchNorm)
     dropout: float = 0.0  # reference: tf_util.dropout before head outputs
     dtype: Any = jnp.float32
 

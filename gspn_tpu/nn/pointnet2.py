@@ -101,7 +101,7 @@ class PointNetSAModule(nn.Module):
     use_knn: bool = False
     use_xyz: bool = True
     use_bn: bool = True
-    bn_axis: str | None = None  # cross-shard BN stats (nn/layers.py)
+    bn_axis: str | tuple[str, ...] | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
     dtype: Any = jnp.float32
 
@@ -190,7 +190,7 @@ class PointNetSAModuleMSG(nn.Module):
     mlp_list: Sequence[Sequence[int]]
     use_xyz: bool = True
     use_bn: bool = True
-    bn_axis: str | None = None  # cross-shard BN stats (nn/layers.py)
+    bn_axis: str | tuple[str, ...] | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
     dtype: Any = jnp.float32
 
@@ -244,7 +244,7 @@ class PointNetFPModule(nn.Module):
 
     mlp: Sequence[int]
     use_bn: bool = True
-    bn_axis: str | None = None  # cross-shard BN stats (nn/layers.py)
+    bn_axis: str | tuple[str, ...] | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
     interp: str = "auto"
     dtype: Any = jnp.float32

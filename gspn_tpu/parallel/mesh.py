@@ -26,6 +26,33 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
+def make_mesh_2d(
+    n_data: int,
+    n_space: int | None = None,
+    data_axis: str = "data",
+    space_axis: str = "space",
+) -> Mesh:
+    """2-D hybrid mesh: scenes shard over ``data_axis`` (outer — on real
+    pods the slower hops), each scene's intra-scene work over
+    ``space_axis`` (inner — consecutive devices, the fastest ICI links,
+    carrying the per-scene all_gathers). ``n_space`` defaults to all
+    remaining local devices."""
+    devs = jax.devices()
+    if n_space is None:
+        if len(devs) % n_data:
+            raise ValueError(
+                f"{len(devs)} devices not divisible into {n_data} data rows"
+            )
+        n_space = len(devs) // n_data
+    need = n_data * n_space
+    if len(devs) < need:
+        raise ValueError(
+            f"need {need} devices ({n_data}x{n_space}), have {len(devs)}"
+        )
+    grid = np.asarray(devs[:need]).reshape(n_data, n_space)
+    return Mesh(grid, (data_axis, space_axis))
+
+
 def shard_batch(mesh: Mesh, batch: dict, axis: str = "data") -> dict:
     """Place a host batch with the leading dim sharded across the mesh."""
     sharding = NamedSharding(mesh, P(axis))

@@ -94,10 +94,13 @@ def sharded_backbone_body(
     when absent. Composable: the point-sharded whole-scene inference
     (:func:`make_point_sharded_inference`) reuses this body between its
     seed-sharded GSPN and RoI stages."""
-    if train and cfg.use_bn and cfg.bn_axis != axis:
+    bn_axes = (
+        cfg.bn_axis if isinstance(cfg.bn_axis, tuple) else (cfg.bn_axis,)
+    )
+    if train and cfg.use_bn and axis not in bn_axes:
         raise ValueError(
             "sharded training with BN needs cross-shard statistics: pass "
-            f"cfg with bn_axis={axis!r} (got {cfg.bn_axis!r})"
+            f"cfg with bn_axis including {axis!r} (got {cfg.bn_axis!r})"
         )
     i = jax.lax.axis_index(axis)
     nsa = len(cfg.sa_layers)

@@ -35,8 +35,18 @@ Stochastic layers whose draw shapes depend on the shard (head dropout,
 randomized RoI sampling) cannot bit-match a single device; the
 factories reject configs that enable them rather than silently diverge.
 
-Verified vs ``make_train_step`` on the virtual 8-device CPU mesh in
-tests/test_train_points.py.
+**Hybrid 2-D meshes** (``data_axis=...``, mesh from
+``parallel.mesh.make_mesh_2d``): the batch additionally shards scenes
+over ``data_axis`` while each scene's work shards over ``axis`` —
+DP x intra-scene parallelism in one ``shard_map``. The exactness
+contract is *stronger* than ``parallel/dp.py``'s: because every
+normalizer, BN statistic and rng draw is global (psum over BOTH axes;
+full-batch-shaped draws sliced per shard), the hybrid step equals THE
+single-device full-batch step — not merely a mean of per-shard-
+normalized steps.
+
+Verified vs ``make_train_step`` on the virtual 8-device CPU mesh
+(1-D and 2x4 hybrid) in tests/test_train_points.py.
 """
 
 from __future__ import annotations
@@ -72,12 +82,28 @@ def _check_div(name, value, nshards):
         raise ValueError(f"{name}={value} not divisible by {nshards} shards")
 
 
+def _axes(axis, data_axis):
+    """The full reduction-axis spec: intra-scene axis (+ data axis)."""
+    return axis if data_axis is None else (data_axis, axis)
+
+
+def _data_slice(a, data_axis, n_data):
+    """This data-shard's slice of a full-batch-shaped replicated draw."""
+    if data_axis is None:
+        return a
+    di = jax.lax.axis_index(data_axis)
+    per = a.shape[0] // n_data
+    return jax.lax.dynamic_slice_in_dim(a, di * per, per, 0)
+
+
 def _wrap_step(shard_loss_and_stats, tx, mesh, axis, bn_momentum_fn,
-               model_bn_momentum):
+               model_bn_momentum, data_axis=None):
     """shard_loss_and_stats(params, batch_stats, batch, rng) ->
-    (loss, (metrics, new_stats)) run per shard; returns the jitted
-    replicated-in/replicated-out train step."""
+    (loss, (metrics, new_stats)) run per shard; returns the jitted train
+    step — state/rng replicated, batch replicated (1-D) or scene-sharded
+    over ``data_axis`` (hybrid 2-D)."""
     _model_bn_momentum = resolve_bn_momentum(model_bn_momentum)
+    red_axes = _axes(axis, data_axis)
 
     def shard_step(state: TrainState, batch, rng):
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
@@ -92,8 +118,8 @@ def _wrap_step(shard_loss_and_stats, tx, mesh, axis, bn_momentum_fn,
         # the paths, and their *mean* is exactly the global gradient
         # (verified against the single-device step in
         # tests/test_train_points.py, incl. BN-psum and all_gather
-        # paths).
-        grads = jax.lax.pmean(grads, axis)
+        # paths). On hybrid meshes the mean runs over both axes.
+        grads = jax.lax.pmean(grads, red_axes)
         if bn_momentum_fn is not None:
             from gspn_tpu.train.schedules import reblend_batch_stats
 
@@ -111,10 +137,11 @@ def _wrap_step(shard_loss_and_stats, tx, mesh, axis, bn_momentum_fn,
         )
         return new_state, metrics
 
+    batch_spec = P() if data_axis is None else P(data_axis)
     sharded = jax.shard_map(
         shard_step,
         mesh=mesh,
-        in_specs=(P(), P(), P()),
+        in_specs=(P(), batch_spec, P()),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -137,19 +164,30 @@ def make_point_sharded_gspn_train_step(
     seed_method: str = "fps",
     bn_momentum_fn=None,
     model_bn_momentum: float | None = None,
+    data_axis: str | None = None,
 ):
     """Seed-sharded stage-1 train step: ``step(state, batch, rng) ->
-    (state, metrics)`` with state/batch/rng REPLICATED (the mesh divides
-    the per-scene seed work, not the batch). Matches
-    ``make_train_step(make_gspn_loss_fn(...))`` to float tolerance.
-    ``num_seeds`` must divide the mesh size."""
+    (state, metrics)`` with state/rng replicated and the batch
+    replicated — or, with ``data_axis`` on a 2-D mesh
+    (``make_mesh_2d``), scenes sharded over ``data_axis`` while seeds
+    shard over ``axis``. Matches ``make_train_step(make_gspn_loss_fn(
+    ...))`` on the FULL batch to float tolerance either way.
+    ``num_seeds`` must divide the ``axis`` size; the batch must divide
+    the ``data_axis`` size."""
     nshards = mesh.shape[axis]
+    n_data = mesh.shape[data_axis] if data_axis is not None else 1
     _check_div("num_seeds", num_seeds, nshards)
     per_s = num_seeds // nshards
     if seed_method not in ("fps", "random"):
         raise ValueError(f"seed_method must be fps|random, got {seed_method}")
+    if seed_method == "random" and data_axis is not None:
+        raise ValueError(
+            "seed_method='random' draws over the full batch and cannot "
+            "bit-match with scenes sharded over a data axis; use 'fps' "
+            "or a 1-D mesh"
+        )
     lw = loss_weights or {}
-    model = GSPN(dataclasses.replace(cfg, bn_axis=axis))
+    model = GSPN(dataclasses.replace(cfg, bn_axis=_axes(axis, data_axis)))
 
     def loss_fn(params, batch_stats, batch, rng):
         i = jax.lax.axis_index(axis)
@@ -164,8 +202,13 @@ def make_point_sharded_gspn_train_step(
             seed_idx = ops.farthest_point_sample(
                 num_seeds, xyz, valid, impl=cfg.ops_impl
             )
-        eps = jax.random.normal(
-            z_rng, (xyz.shape[0], num_seeds, cfg.latent_dim), jnp.float32
+        eps = _data_slice(
+            jax.random.normal(
+                z_rng,
+                (xyz.shape[0] * n_data, num_seeds, cfg.latent_dim),
+                jnp.float32,
+            ),
+            data_axis, n_data,
         )
         my_seeds = jax.lax.dynamic_slice_in_dim(seed_idx, i * per_s, per_s, 1)
         my_eps = jax.lax.dynamic_slice_in_dim(eps, i * per_s, per_s, 1)
@@ -186,12 +229,13 @@ def make_point_sharded_gspn_train_step(
         )
         total, metrics = gspn_loss(
             out, gt_points, gt_valid, gt_center, is_fg,
-            impl=cfg.ops_impl, axis_name=axis, **lw,
+            impl=cfg.ops_impl, axis_name=_axes(axis, data_axis), **lw,
         )
         return total, (metrics, mutated["batch_stats"])
 
     return _wrap_step(
-        loss_fn, tx, mesh, axis, bn_momentum_fn, model_bn_momentum
+        loss_fn, tx, mesh, axis, bn_momentum_fn, model_bn_momentum,
+        data_axis=data_axis,
     )
 
 
@@ -212,19 +256,23 @@ def make_point_sharded_rpointnet_train_step(
     mix_gt_boxes: bool = True,
     bn_momentum_fn=None,
     model_bn_momentum: float | None = None,
+    data_axis: str | None = None,
 ):
     """Fully sharded stage-2 train step (mirrors
     ``steps.make_rpointnet_loss_fn`` semantics; see the module docstring
     for the sharding layout). ``frozen_gspn`` takes the GSPN *config*
     (not model — it is rebuilt with the sharded-BN axis internally),
-    its variables, and its seed count.
+    its variables, and its seed count. ``data_axis``: 2-D hybrid mesh,
+    scenes shard over it in addition to the intra-scene sharding.
 
     Divisibility: N, ``sa_layers[0].npoint``, ``num_seeds`` and the
     total RoI count (``num_seeds + max_instances`` with GT mixing, else
-    ``max_instances``) by the mesh size. Rejects ``head_dropout`` /
-    ``roi_randomize`` (shard-shaped draws cannot match single-device).
+    ``max_instances``) by the ``axis`` size; the batch by the
+    ``data_axis`` size. Rejects ``head_dropout`` / ``roi_randomize``
+    (shard-shaped draws cannot match single-device).
     """
     nshards = mesh.shape[axis]
+    n_data = mesh.shape[data_axis] if data_axis is not None else 1
     if cfg.head_dropout > 0:
         raise ValueError(
             "point-sharded training does not support head_dropout>0 "
@@ -239,7 +287,7 @@ def make_point_sharded_rpointnet_train_step(
         )
     _check_div("sa1 npoint", cfg.sa_layers[0].npoint, nshards)
     lw = loss_weights or {}
-    scfg = dataclasses.replace(cfg, bn_axis=axis)
+    scfg = dataclasses.replace(cfg, bn_axis=_axes(axis, data_axis))
     heads = RoIHeads(scfg)
     if frozen_gspn is not None:
         gcfg, gvars, num_seeds = frozen_gspn
@@ -260,13 +308,18 @@ def make_point_sharded_rpointnet_train_step(
         gt_boxes, gt_cls, present = instance_gt_boxes(
             xyz, batch["inst_label"], batch["sem_label"], max_instances
         )
-        # identical split + full-shape draws as the single-device loss
+        # identical split + full-BATCH-shape draws as the single-device
+        # loss (sliced to this data shard's scenes on hybrid meshes)
         jitter_rng, drop_rng, roi_rng, rng = jax.random.split(rng, 4)
         del drop_rng, roi_rng  # rejected configs above
-        noise = (
-            jax.random.normal(jitter_rng, gt_boxes.shape, jnp.float32)
-            * gt_box_jitter
-        )
+        noise = _data_slice(
+            jax.random.normal(
+                jitter_rng,
+                (gt_boxes.shape[0] * n_data,) + gt_boxes.shape[1:],
+                jnp.float32,
+            ),
+            data_axis, n_data,
+        ) * gt_box_jitter
         gt_rois = jnp.where(present[..., None], gt_boxes + noise, 0.0)
         sa1_fps_idx = None
         if frozen_gspn is not None:
@@ -281,8 +334,13 @@ def make_point_sharded_rpointnet_train_step(
             my_seeds = jax.lax.dynamic_slice_in_dim(
                 seed_idx, i * per_seed, per_seed, 1
             )
-            eps = jax.random.normal(
-                rng, (xyz.shape[0], num_seeds, gcfg.latent_dim), jnp.float32
+            eps = _data_slice(
+                jax.random.normal(
+                    rng,
+                    (xyz.shape[0] * n_data, num_seeds, gcfg.latent_dim),
+                    jnp.float32,
+                ),
+                data_axis, n_data,
             )
             my_eps = jax.lax.dynamic_slice_in_dim(
                 eps, i * per_seed, per_seed, 1
@@ -374,7 +432,8 @@ def make_point_sharded_rpointnet_train_step(
             roi_valid=roi_valid,
         )
         total, metrics = rpointnet_loss(
-            out, match, batch["inst_label"], axis_name=axis, **lw
+            out, match, batch["inst_label"],
+            axis_name=_axes(axis, data_axis), **lw,
         )
         new_stats = dict(batch_stats)
         if bb_stats or "backbone" in batch_stats:
@@ -386,5 +445,6 @@ def make_point_sharded_rpointnet_train_step(
         return total, (metrics, new_stats)
 
     return _wrap_step(
-        loss_fn, tx, mesh, axis, bn_momentum_fn, model_bn_momentum
+        loss_fn, tx, mesh, axis, bn_momentum_fn, model_bn_momentum,
+        data_axis=data_axis,
     )

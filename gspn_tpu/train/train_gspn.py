@@ -73,6 +73,11 @@ def parse_args(argv=None):
                         "(batch replicated; parallel/train_points.py) — "
                         "the whole-scene/long-context regime where one "
                         "scene's work, not the batch, is what scales")
+    p.add_argument("--data-rows", type=int, default=0,
+                   help="with --point-sharded: hybrid 2-D mesh — scenes "
+                        "shard over this many data rows, each scene's "
+                        "work over the remaining devices per row "
+                        "(DP x intra-scene; batch must divide it)")
     p.add_argument("--synthetic", action="store_true", default=True)
     p.add_argument("--scannet-dir", type=str, default=None,
                    help="preprocessed ScanNet crops dir (overrides synthetic)")
@@ -229,13 +234,18 @@ def main(argv=None):
         mesh = make_mesh()
         step_fn = make_dp_train_step(loss_fn, tx, mesh, bn_momentum_fn=bn_fn)
     elif args.point_sharded:
+        from gspn_tpu.parallel.mesh import make_mesh_2d
         from gspn_tpu.parallel.train_points import (
             make_point_sharded_gspn_train_step,
         )
 
+        rows = getattr(args, "data_rows", 0)
         step_fn = make_point_sharded_gspn_train_step(
-            cfg, tx, make_mesh(axis="space"), args.num_seeds, args.gt_size,
+            cfg, tx,
+            make_mesh_2d(rows) if rows else make_mesh(axis="space"),
+            args.num_seeds, args.gt_size,
             loss_weights={"kl_weight": args.kl_weight}, bn_momentum_fn=bn_fn,
+            data_axis="data" if rows else None,
         )
     else:
         step_fn = make_train_step(loss_fn, tx, bn_momentum_fn=bn_fn)

@@ -63,6 +63,10 @@ def parse_args(argv=None):
                    help="shard one scene's work over all devices (batch "
                         "replicated): frozen-GSPN seeds, backbone points "
                         "and RoIs all shard (parallel/train_points.py)")
+    p.add_argument("--data-rows", type=int, default=0,
+                   help="with --point-sharded: hybrid 2-D mesh — scenes "
+                        "shard over this many data rows, each scene's "
+                        "work over the remaining devices per row")
     p.add_argument("--synthetic", action="store_true", default=True)
     p.add_argument("--scannet-dir", type=str, default=None)
     p.add_argument("--partnet-dir", type=str, default=None)
@@ -170,15 +174,24 @@ def main(argv=None):
     if args.dp:
         step_fn = make_dp_train_step(loss_fn, tx, make_mesh(), bn_momentum_fn=bn_fn)
     elif args.point_sharded:
+        from gspn_tpu.parallel.mesh import make_mesh_2d
         from gspn_tpu.parallel.train_points import (
             make_point_sharded_rpointnet_train_step,
         )
 
+        rows = getattr(args, "data_rows", 0)
+        frozen_cfg = None
+        if frozen is not None:
+            gm, gv, ns = frozen
+            frozen_cfg = (gm.config, gv, ns)
         step_fn = make_point_sharded_rpointnet_train_step(
-            cfg, tx, make_mesh(axis="space"), args.max_instances,
-            frozen_gspn=frozen,
+            cfg, tx,
+            make_mesh_2d(rows) if rows else make_mesh(axis="space"),
+            args.max_instances,
+            frozen_gspn=frozen_cfg,
             mix_gt_boxes=not args.no_mix_gt_boxes,
             bn_momentum_fn=bn_fn,
+            data_axis="data" if rows else None,
         )
     else:
         step_fn = make_train_step(loss_fn, tx, bn_momentum_fn=bn_fn)

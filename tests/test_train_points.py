@@ -202,6 +202,73 @@ def test_sharded_rpointnet_gt_boxes_only(rng):
     _assert_tree_close(s1.params, s8.params)
 
 
+def test_hybrid_2d_gspn_step_equals_single_full_batch(rng):
+    """2x4 hybrid mesh (scenes over 'data', seeds over 'space'): the
+    step equals THE single-device FULL-batch step — normalizers, BN
+    stats and rng draws are all global, a stronger contract than dp.py's
+    per-shard-normalized mean."""
+    from gspn_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(2, 4)
+    batch = _batch(rng, b=4)  # 2 scenes per data row
+    tx = optax.sgd(1.0)
+    model, _, state = _gspn_state(batch, tx)
+    key = jax.random.PRNGKey(3)
+
+    single = make_train_step(make_gspn_loss_fn(model, S, G), tx)
+    s1, m1 = single(state, batch, key)
+
+    hybrid = make_point_sharded_gspn_train_step(
+        TINY_G, tx, mesh, S, G, data_axis="data"
+    )
+    s2, m2 = hybrid(state, batch, key)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    _assert_tree_close(s1.params, s2.params)
+    _assert_tree_close(s1.batch_stats, s2.batch_stats)
+
+
+def test_hybrid_2d_rpointnet_step_equals_single_full_batch(rng):
+    from gspn_tpu.parallel.mesh import make_mesh_2d
+
+    mesh = make_mesh_2d(2, 4)
+    batch = _batch(rng, b=4)
+    tx = optax.sgd(1.0)
+    max_inst = 16
+    gmodel, gvars, _ = _gspn_state(batch, tx)
+    rcfg = dataclasses.replace(tiny_rpointnet(3), ops_impl="xla")
+    rmodel = RPointNet(rcfg)
+    boxes0 = jnp.tile(
+        jnp.asarray([[-0.5, -0.5, -0.5, 0.5, 0.5, 0.5]], jnp.float32),
+        (batch["xyz"].shape[0], 1, 1),
+    )
+    rvars = rmodel.init(
+        jax.random.PRNGKey(1), batch["xyz"], boxes0, valid=batch["valid"],
+        train=False,
+    )
+    state = TrainState.create(rvars, tx)
+    key = jax.random.PRNGKey(5)
+
+    single = make_train_step(
+        make_rpointnet_loss_fn(
+            rmodel, max_inst, frozen_gspn=(gmodel, gvars, S)
+        ),
+        tx,
+    )
+    s1, m1 = single(state, batch, key)
+
+    hybrid = make_point_sharded_rpointnet_train_step(
+        rcfg, tx, mesh, max_inst, frozen_gspn=(TINY_G, gvars, S),
+        axis="space", data_axis="data",
+    )
+    s2, m2 = hybrid(state, batch, key)
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-5)
+    assert float(m2["num_fg"]) == float(m1["num_fg"])
+    _assert_tree_close(s1.params, s2.params)
+    _assert_tree_close(s1.batch_stats, s2.batch_stats)
+
+
 def test_sharded_train_rejects_bad_configs():
     mesh = make_mesh(8, axis="space")
     tx = optax.sgd(1.0)
