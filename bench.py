@@ -27,6 +27,53 @@ B, N = 8, 8192
 WARMUP, ITERS = 3, 30
 
 
+def _install_tpu_watchdog(init_timeout_s=300.0, total_timeout_s=3000.0):
+    """Fail fast when the tunneled chip is unreachable.
+
+    The axon backend init polls its local relay with NO timeout — when
+    the tunnel is down the process hangs forever in a nanosleep loop
+    (observed in-session; CLAUDE.md "Platform gotchas"). A hung bench
+    records nothing; instead emit one diagnostic JSON line (same schema,
+    value 0, explicit "error") and exit nonzero so the driver's record
+    shows *why* there is no number."""
+    import os as _os
+    import threading
+
+    ready, done = threading.Event(), threading.Event()
+
+    def _die(msg):
+        print(
+            json.dumps(
+                {
+                    "metric": "instance_seg_inference_points_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "points/sec",
+                    "vs_baseline": 0.0,
+                    "error": msg,
+                }
+            ),
+            flush=True,
+        )
+        _os._exit(3)
+
+    def _watch():
+        if not ready.wait(init_timeout_s):
+            _die(
+                f"TPU backend not ready within {init_timeout_s:.0f}s "
+                "(axon tunnel down?)"
+            )
+        if not done.wait(total_timeout_s):
+            _die(
+                f"bench did not finish within {total_timeout_s:.0f}s "
+                "(tunnel dropped mid-run?)"
+            )
+
+    threading.Thread(target=_watch, daemon=True).start()
+    jax.devices()  # blocks here if the tunnel is down
+    ready.set()
+    return done
+
+
 def _host_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
     """Greedy score-descending NMS on the host — the reference runs NMS in
     NumPy between proposal generation and RoIAlign (SURVEY.md §3.3 boundary
@@ -54,6 +101,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     args = ap.parse_args()
+
+    done = _install_tpu_watchdog()
 
     from gspn_tpu import ops
     from gspn_tpu.data import synthetic
@@ -162,6 +211,7 @@ def main():
 
     rep = pipeline_cost(cfg, B, N)["total"].report(fused_dt)
 
+    done.set()
     metric = "instance_seg_inference_points_per_sec_per_chip"
     if args.dtype != "f32":
         metric += f"_{args.dtype}"

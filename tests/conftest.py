@@ -6,10 +6,13 @@ be exercised without a TPU pod; Pallas kernels run in interpret mode there
 done by ``scripts/tpu_smoke.py`` outside pytest.
 
 NOTE: this environment's TPU plugin (axon) registers itself via
-``sitecustomize`` and programmatically overrides ``JAX_PLATFORMS``, so the
-env var alone does NOT stick — ``jax.config.update`` after import is
-required. XLA_FLAGS must still be set before import for the virtual
-device count.
+``sitecustomize`` and sets ``JAX_PLATFORMS=axon`` in the process env;
+``gspn_tpu.__init__`` honors the env var at import, so the conftest must
+pin the ENV VAR (not just ``jax.config``) to "cpu" before any gspn_tpu
+import — otherwise the first test that imports the package flips the
+platform back to the tunneled chip (and HANGS if the tunnel is down:
+the axon backend init polls the relay forever). XLA_FLAGS must also be
+set before jax import for the virtual device count.
 """
 
 import os
@@ -19,6 +22,7 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # see module docstring
 
 import jax  # noqa: E402
 
