@@ -56,6 +56,11 @@ def parse_args(argv=None):
                         "device (points+seeds+RoIs; parallel/scene.py). "
                         "num_seeds, sa1 npoint and num_points must be "
                         "divisible by the device count")
+    p.add_argument("--artifact", type=str, default=None,
+                   help="serve from an AOT-exported .gspnx artifact "
+                        "(scripts/export_serving.py) instead of tracing "
+                        "the live pipeline; its serving shape must match "
+                        "--batch/--num-points and the restored variables")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--preset", choices=["default", "tiny"], default="default")
     p.add_argument("--box-percentile", type=float, default=0.0,
@@ -189,6 +194,25 @@ def main(argv=None):
             if fdim:
                 return sharded(variables, xyz, feats, valid, eps)
             return sharded(variables, xyz, valid, eps)
+    elif args.artifact:
+        # serve the eval from the AOT artifact — the whole pipeline is the
+        # deserialized StableHLO, no model retrace (gspn_tpu/serve).
+        from gspn_tpu.serve import load_artifact
+
+        exported, manifest = load_artifact(args.artifact)
+        saved_seeds = manifest.get("pipeline_config", {}).get("num_seeds")
+        if saved_seeds is not None and int(saved_seeds) != cfg.num_seeds:
+            raise ValueError(
+                f"artifact was exported with num_seeds={saved_seeds}, "
+                f"eval is configured with {cfg.num_seeds}"
+            )
+        print(f"serving from {args.artifact} "
+              f"(platforms={manifest.get('platforms')})")
+
+        def infer(variables, xyz, feats, valid, key):
+            if feats is not None:
+                return exported.call(variables, xyz, feats, valid, key)
+            return exported.call(variables, xyz, valid, key)
     else:
         infer = jax.jit(make_inference_fn(cfg))
     all_preds, all_gts = [], []

@@ -34,6 +34,42 @@ def test_run_eval_point_sharded(tmp_path):
     assert set(res) >= {"ap", "ap_50", "ap_25", "per_class"}
 
 
+def test_run_eval_from_artifact_matches_live(tmp_path):
+    """--artifact serves the eval from the AOT-exported .gspnx: the AP
+    summary must equal the live-pipeline run bit-for-bit (same seed →
+    same batches/variables; the artifact IS the same function)."""
+    import jax
+
+    from gspn_tpu.models.pipeline import (
+        PipelineConfig,
+        init_pipeline_variables,
+    )
+    from gspn_tpu.serve import export_inference, save_artifact
+    from gspn_tpu.train.train_gspn import TINY_GSPN
+    from gspn_tpu.train.train_rpointnet import tiny_rpointnet
+
+    b, n, seeds, ncls = 2, 192, 8, 3
+    cfg = PipelineConfig(
+        gspn=TINY_GSPN, rpointnet=tiny_rpointnet(ncls), num_seeds=seeds,
+        score_thresh=0.05,
+    )
+    # shapes/dtypes only — run_eval passes its own restored values at call
+    variables = init_pipeline_variables(cfg, jax.random.PRNGKey(42), n)
+    exported = export_inference(cfg, variables, n, batch_size=b)
+    art = save_artifact(tmp_path / "tiny.gspnx", exported, cfg)
+
+    common = [
+        "--num-scenes", "4", "--batch", str(b), "--num-points", str(n),
+        "--num-seeds", str(seeds), "--num-classes", str(ncls),
+        "--preset", "tiny",
+    ]
+    live = run_eval.main(common)
+    served = run_eval.main(common + ["--artifact", str(art)])
+    assert served["ap"] == live["ap"]
+    assert served["ap_50"] == live["ap_50"]
+    assert served["ap_25"] == live["ap_25"]
+
+
 def test_scannet_submission_roundtrip(tmp_path):
     """The official-format writer/reader are exact inverses, and the
     written layout matches the official evaluator's expectations
