@@ -56,6 +56,11 @@ def parse_args(argv=None):
                         "device (points+seeds+RoIs; parallel/scene.py). "
                         "num_seeds, sa1 npoint and num_points must be "
                         "divisible by the device count")
+    p.add_argument("--data-rows", type=int, default=0,
+                   help="with --point-sharded: hybrid 2-D mesh — scenes "
+                        "shard over this many data rows (batch must "
+                        "divide it), each scene's work over the "
+                        "remaining devices per row")
     p.add_argument("--artifact", type=str, default=None,
                    help="serve from an AOT-exported .gspnx artifact "
                         "(scripts/export_serving.py) instead of tracing "
@@ -181,10 +186,15 @@ def main(argv=None):
         # same latents as the single-device path (gspn draws eps with the
         # same key and shape), so results match it to the documented
         # float tolerance of the sharded feature map.
-        from gspn_tpu.parallel.mesh import make_mesh
+        from gspn_tpu.parallel.mesh import make_mesh, make_mesh_2d
         from gspn_tpu.parallel.scene import make_point_sharded_inference
 
-        sharded = make_point_sharded_inference(cfg, make_mesh(axis="space"))
+        rows = args.data_rows
+        sharded = make_point_sharded_inference(
+            cfg,
+            make_mesh_2d(rows) if rows else make_mesh(axis="space"),
+            data_axis="data" if rows else None,
+        )
         latent = cfg.gspn.latent_dim
 
         def infer(variables, xyz, feats, valid, key):

@@ -76,15 +76,25 @@ def _collection(variables, names):
 
 
 def make_point_sharded_inference(
-    cfg: PipelineConfig, mesh: Mesh, axis: str = "space"
+    cfg: PipelineConfig, mesh: Mesh, axis: str = "space",
+    data_axis: str | None = None,
 ):
     """Returns ``infer(variables, xyz, valid, z_eps)`` — or, when the
     configs declare ``feature_dim > 0``, ``infer(variables, xyz,
     features, valid, z_eps)`` — producing ``InstancePredictions`` with
     points, seeds and RoIs all sharded over ``axis``. ``cfg.num_seeds``,
-    ``sa_layers[0].npoint`` and N must be divisible by the mesh size.
-    ``z_eps`` is ``(B, num_seeds, latent)`` pre-drawn noise (replicated)
-    so sharded and single-device runs can use identical latents."""
+    ``sa_layers[0].npoint`` and N must be divisible by the ``axis`` size.
+    ``z_eps`` is ``(B, num_seeds, latent)`` pre-drawn noise (replicated
+    over ``axis``) so sharded and single-device runs can use identical
+    latents.
+
+    ``data_axis`` (2-D mesh from :func:`gspn_tpu.parallel.mesh.
+    make_mesh_2d`): scenes additionally shard over it — hybrid
+    batch x intra-scene inference, the serving mirror of
+    ``train_points``' hybrid training. The per-scene math is untouched
+    (every collective in the body runs over ``axis`` only), so outputs
+    equal the 1-D sharded run scene-for-scene; B must divide the
+    ``data_axis`` size."""
     nshards = mesh.shape[axis]
     rcfg = cfg.rpointnet
     if cfg.num_seeds % nshards:
@@ -188,16 +198,20 @@ def make_point_sharded_inference(
             valid=pvalid,
         )
 
+    d = data_axis  # None -> scenes replicated (1-D behavior)
     out_specs = InstancePredictions(
-        masks=P(None, axis, None),
-        scores=P(None, axis),
-        classes=P(None, axis),
-        boxes=P(None, axis, None),
-        valid=P(None, axis),
+        masks=P(d, axis, None),
+        scores=P(d, axis),
+        classes=P(d, axis),
+        boxes=P(d, axis, None),
+        valid=P(d, axis),
     )
+    batch_spec = P(d)  # leading (scene) dim of xyz/features/valid/z_eps
     if use_features:
         sharded = jax.shard_map(
-            shard_fn, mesh=mesh, in_specs=(P(),) * 5, out_specs=out_specs,
+            shard_fn, mesh=mesh,
+            in_specs=(P(), batch_spec, batch_spec, batch_spec, batch_spec),
+            out_specs=out_specs,
             check_vma=False,
         )
         return jax.jit(sharded)
@@ -206,7 +220,7 @@ def make_point_sharded_inference(
             variables, xyz, None, valid, z_eps
         ),
         mesh=mesh,
-        in_specs=(P(),) * 4,
+        in_specs=(P(), batch_spec, batch_spec, batch_spec),
         out_specs=out_specs,
         check_vma=False,
     )

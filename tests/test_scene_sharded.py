@@ -106,6 +106,40 @@ def test_point_sharded_inference_matches(rng, mask_project, roi_sample):
     _compare(cfg, b=2, n=192, rng=rng)
 
 
+def test_point_sharded_hybrid_2d_matches_single(rng):
+    """2x4 hybrid mesh (scenes over 'data', intra-scene work over
+    'space'): outputs must equal the single-device pipeline exactly —
+    the per-scene math never crosses the data axis, so hybrid == 1-D
+    sharded == single-device, scene for scene."""
+    from gspn_tpu.parallel.mesh import make_mesh_2d
+
+    cfg = dataclasses.replace(TINY, num_seeds=16)
+    b, n = 2, 192
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic.scene_batch(
+            rng, b, n_points=n, max_instances=3, extent=2.0
+        ).items()
+    }
+    variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), n)
+    z_eps = jax.random.normal(
+        jax.random.PRNGKey(5), (b, cfg.num_seeds, cfg.gspn.latent_dim)
+    )
+    m1, s1, c1, v1 = jax.jit(_single_device_fn(cfg, z_eps))(
+        variables, batch["xyz"], batch["valid"], None
+    )
+    infer = make_point_sharded_inference(
+        cfg, make_mesh_2d(2, 4), axis="space", data_axis="data"
+    )
+    preds = infer(variables, batch["xyz"], batch["valid"], z_eps)
+    np.testing.assert_array_equal(np.asarray(preds.valid), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(preds.classes), np.asarray(c1))
+    np.testing.assert_allclose(
+        np.asarray(preds.scores), np.asarray(s1), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(preds.masks), np.asarray(m1))
+
+
 def test_point_sharded_whole_scene(rng):
     """One larger masked scene: N and sa1 queries shard 8 ways while the
     seed/RoI stages shard the proposal axis — the full composition."""
