@@ -29,3 +29,64 @@ class DeterministicBatches:
         while True:
             yield self.batch_at(step)
             step += 1
+
+
+class DevicePrefetcher:
+    """Overlap host-side batch generation (and staging, e.g.
+    ``jax.device_put``) with the running train step.
+
+    A daemon thread keeps up to ``depth`` staged batches ahead of the
+    consumer: while step ``i`` executes on the device, the host is
+    already sampling/transferring batches ``i+1..i+depth``. On a
+    tunneled chip the host->device transfer is the expensive leg, so
+    without this the step serializes behind it.
+
+    Determinism/resume contract is EXACTLY :class:`DeterministicBatches`:
+    ``iterate(start_step)`` yields ``(step, stage(batch_at(step)))`` for
+    ``step = start_step, start_step+1, ...`` in order — the staged values
+    are the same arrays, just moved early. ``stage`` defaults to
+    identity; trainers pass the jnp conversion so this module stays
+    NumPy-only. Worker exceptions re-raise in the consumer."""
+
+    def __init__(self, batches: DeterministicBatches, depth: int = 2,
+                 stage=None):
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        self.batches = batches
+        self.depth = depth
+        self.stage = stage if stage is not None else (lambda b: b)
+
+    def iterate(self, start_step: int = 0):
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def worker():
+            step = start_step
+            while not stop.is_set():
+                try:
+                    item = (step, self.stage(self.batches.batch_at(step)))
+                except BaseException as e:  # noqa: BLE001 — re-raised below
+                    item = ("error", e)
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if item[0] == "error":
+                    return
+                step += 1
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item[0] == "error":
+                    raise item[1]
+                yield item
+        finally:
+            stop.set()

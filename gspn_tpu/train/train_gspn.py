@@ -78,6 +78,11 @@ def parse_args(argv=None):
                         "shard over this many data rows, each scene's "
                         "work over the remaining devices per row "
                         "(DP x intra-scene; batch must divide it)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="stage this many batches on-device ahead of the "
+                        "running step (host gen + transfer overlap "
+                        "compute; 0 disables). Same batches in the same "
+                        "order — resume stays bit-exact")
     p.add_argument("--synthetic", action="store_true", default=True)
     p.add_argument("--scannet-dir", type=str, default=None,
                    help="preprocessed ScanNet crops dir (overrides synthetic)")
@@ -278,8 +283,25 @@ def main(argv=None):
             lambda s, b, r: loss_fn(s.params, s.batch_stats, b, r)[1][0]
         )
 
+    # prefetch: stage batches on-device up to N ahead of the running step
+    # (same values in the same order — DeterministicBatches contract; the
+    # bit-exact resume tests run through this path)
+    def _stage(b):
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    if args.prefetch > 0:
+        from gspn_tpu.data.iterator import DevicePrefetcher
+
+        feed = DevicePrefetcher(
+            batches, depth=args.prefetch, stage=_stage
+        ).iterate(start_step)
+    else:
+        feed = ((i, _stage(batches.batch_at(i)))
+                for i in range(start_step, args.steps))
+
     for i in range(start_step, args.steps):
-        batch = {k: jnp.asarray(v) for k, v in batches.batch_at(i).items()}
+        fi, batch = next(feed)
+        assert fi == i
         k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
         batch = prep(batch, k_aug)
         state, metrics = step_fn(state, batch, k_step)

@@ -67,6 +67,10 @@ def parse_args(argv=None):
                    help="with --point-sharded: hybrid 2-D mesh — scenes "
                         "shard over this many data rows, each scene's "
                         "work over the remaining devices per row")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="stage this many batches on-device ahead of the "
+                        "running step (0 disables); resume stays "
+                        "bit-exact")
     p.add_argument("--synthetic", action="store_true", default=True)
     p.add_argument("--scannet-dir", type=str, default=None)
     p.add_argument("--partnet-dir", type=str, default=None)
@@ -216,8 +220,24 @@ def main(argv=None):
             lambda s, b, r: loss_fn(s.params, s.batch_stats, b, r)[1][0]
         )
 
+    # prefetch (see train_gspn.py — same contract, resume stays bit-exact)
+    def _stage(b):
+        return {k: jnp.asarray(v) for k, v in b.items()}
+
+    if args.prefetch > 0:
+        from gspn_tpu.data.iterator import DevicePrefetcher
+
+        feed = DevicePrefetcher(
+            batches, depth=args.prefetch, stage=_stage
+        ).iterate(start_step)
+    else:
+        feed = ((i, _stage(batches.batch_at(i)))
+                for i in range(start_step, args.steps))
+
     for i in range(start_step, args.steps):
-        batch = {k: jnp.asarray(v) for k, v in batches.batch_at(i).items()}
+        fi, batch = next(feed)
+        assert fi == i
+        batch = dict(batch)
         k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
         if not args.no_augment:
             batch["xyz"] = augment_scene(k_aug, batch["xyz"], batch["valid"])

@@ -165,6 +165,48 @@ def test_deterministic_iterator(rng):
     np.testing.assert_array_equal(next(it)["xyz"], a["xyz"])
 
 
+def test_device_prefetcher_matches_batch_at():
+    """The prefetch thread must yield (step, stage(batch_at(step))) in
+    order from any start step — bit-identical to the unprefetched path,
+    or resume determinism breaks."""
+    from gspn_tpu.data.iterator import DevicePrefetcher
+
+    db = DeterministicBatches(
+        lambda r, b: synthetic.scene_batch(r, b, n_points=64, max_instances=2),
+        batch_size=2,
+        seed=5,
+    )
+    staged = []
+    pf = DevicePrefetcher(
+        db, depth=3, stage=lambda b: (staged.append(1), b)[1]
+    )
+    it = pf.iterate(start_step=7)
+    for want_step in range(7, 12):
+        step, batch = next(it)
+        assert step == want_step
+        ref = db.batch_at(want_step)
+        for k in ref:
+            np.testing.assert_array_equal(batch[k], ref[k])
+    it.close()  # stops the worker thread
+    assert len(staged) >= 5
+
+
+def test_device_prefetcher_propagates_errors():
+    from gspn_tpu.data.iterator import DevicePrefetcher
+
+    def boom(r, b):
+        raise RuntimeError("sample_fn failed")
+
+    pf = DevicePrefetcher(DeterministicBatches(boom, 2), depth=1)
+    it = pf.iterate()
+    try:
+        next(it)
+        raise AssertionError("expected RuntimeError")
+    except RuntimeError as e:
+        assert "sample_fn failed" in str(e)
+    it.close()
+
+
 def test_augment_preserves_structure(rng):
     batch = synthetic.scene_batch(rng, 2, n_points=128, max_instances=3)
     xyz = jnp.asarray(batch["xyz"])
