@@ -56,7 +56,11 @@ class DevicePrefetcher:
         self.depth = depth
         self.stage = stage if stage is not None else (lambda b: b)
 
-    def iterate(self, start_step: int = 0):
+    def iterate(self, start_step: int = 0, stop_step: int | None = None):
+        """Yield ``(step, staged_batch)`` for ``start_step <= step <
+        stop_step`` (unbounded when ``stop_step`` is None). The worker
+        never generates past ``stop_step``, so a bounded feed winds down
+        on its own when training ends."""
         import queue
         import threading
 
@@ -65,7 +69,9 @@ class DevicePrefetcher:
 
         def worker():
             step = start_step
-            while not stop.is_set():
+            while not stop.is_set() and (
+                stop_step is None or step < stop_step
+            ):
                 try:
                     item = (step, self.stage(self.batches.batch_at(step)))
                 except BaseException as e:  # noqa: BLE001 — re-raised below
@@ -83,10 +89,29 @@ class DevicePrefetcher:
         t = threading.Thread(target=worker, daemon=True)
         t.start()
         try:
-            while True:
+            step = start_step
+            while stop_step is None or step < stop_step:
                 item = q.get()
                 if item[0] == "error":
                     raise item[1]
                 yield item
+                step += 1
         finally:
             stop.set()
+
+
+def make_feed(batches: DeterministicBatches, start_step: int,
+              stop_step: int, prefetch: int, stage=None):
+    """The trainers' batch feed: yields ``(step, stage(batch_at(step)))``
+    for ``start_step <= step < stop_step``, through a
+    :class:`DevicePrefetcher` when ``prefetch > 0`` (identical values
+    and order either way — resume stays bit-exact). Close the generator
+    (or exhaust it) to stop the worker thread."""
+    stage = stage if stage is not None else (lambda b: b)
+    if prefetch > 0:
+        return DevicePrefetcher(batches, depth=prefetch, stage=stage).iterate(
+            start_step, stop_step
+        )
+    return (
+        (i, stage(batches.batch_at(i))) for i in range(start_step, stop_step)
+    )

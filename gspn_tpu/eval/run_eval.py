@@ -58,8 +58,8 @@ def parse_args(argv=None):
                         "divisible by the device count")
     p.add_argument("--data-rows", type=int, default=0,
                    help="with --point-sharded: hybrid 2-D mesh — scenes "
-                        "shard over this many data rows (batch must "
-                        "divide it), each scene's work over the "
+                        "shard over this many data rows (must divide "
+                        "the batch size), each scene's work over the "
                         "remaining devices per row")
     p.add_argument("--artifact", type=str, default=None,
                    help="serve from an AOT-exported .gspnx artifact "
@@ -84,7 +84,23 @@ def parse_args(argv=None):
                         "(official ScanNet rule: each GT consumes every "
                         "above-threshold prediction, max-confidence one "
                         "is the TP)")
-    return p.parse_args(argv)
+    args = p.parse_args(argv)
+    if args.artifact and args.point_sharded:
+        p.error("--artifact and --point-sharded are mutually exclusive "
+                "(the artifact is a fixed single-program export)")
+    if args.data_rows and not args.point_sharded:
+        p.error("--data-rows requires --point-sharded")
+    if args.data_rows and args.batch % args.data_rows:
+        p.error(f"--batch {args.batch} must be divisible by "
+                f"--data-rows {args.data_rows}")
+    if (args.artifact or args.data_rows) and args.num_scenes % args.batch:
+        # these paths run fixed-shape programs; a ragged final batch
+        # (num_scenes % batch scenes) cannot be fed to them
+        p.error(f"--num-scenes {args.num_scenes} must be a multiple of "
+                f"--batch {args.batch} with --artifact/--data-rows "
+                "(fixed-shape serving paths cannot take a ragged final "
+                "batch)")
+    return args
 
 
 def _check_ckpt_feature_dim(ckpt_dir: str, name: str, fdim: int):

@@ -93,8 +93,8 @@ def make_point_sharded_inference(
     batch x intra-scene inference, the serving mirror of
     ``train_points``' hybrid training. The per-scene math is untouched
     (every collective in the body runs over ``axis`` only), so outputs
-    equal the 1-D sharded run scene-for-scene; B must divide the
-    ``data_axis`` size."""
+    equal the 1-D sharded run scene-for-scene; the ``data_axis`` size
+    must divide B."""
     nshards = mesh.shape[axis]
     rcfg = cfg.rpointnet
     if cfg.num_seeds % nshards:

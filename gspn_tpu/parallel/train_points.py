@@ -172,7 +172,7 @@ def make_point_sharded_gspn_train_step(
     (``make_mesh_2d``), scenes sharded over ``data_axis`` while seeds
     shard over ``axis``. Matches ``make_train_step(make_gspn_loss_fn(
     ...))`` on the FULL batch to float tolerance either way.
-    ``num_seeds`` must divide the ``axis`` size; the batch must divide
+    ``num_seeds`` must be divisible by the ``axis`` size; the batch by
     the ``data_axis`` size."""
     nshards = mesh.shape[axis]
     n_data = mesh.shape[data_axis] if data_axis is not None else 1

@@ -69,8 +69,12 @@ try:
         deserialize_auxdata=lambda b: None,
         from_children=lambda aux, children: InstancePredictions(*children),
     )
-except ValueError:
-    pass  # already registered (re-import in the same process)
+except ValueError as e:
+    # tolerate ONLY double-registration (importlib.reload in tests);
+    # any other registration failure must surface here, not later
+    # inside serialize()/deserialize()
+    if "multiple serializations" not in str(e) and "already" not in str(e):
+        raise
 
 
 def _cpu_only(platforms: Sequence[str]) -> bool:
@@ -118,8 +122,9 @@ def export_inference(
     infer = make_inference_fn(cfg)
     b, n, f = batch_size, n_points, feature_dim
 
+    # shape/dtype only — no device transfer of the checkpoint
     var_spec = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.result_type(x)),
         variables,
     )
     xyz_spec = jax.ShapeDtypeStruct((b, n, 3), jnp.float32)

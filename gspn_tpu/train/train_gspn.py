@@ -77,7 +77,7 @@ def parse_args(argv=None):
                    help="with --point-sharded: hybrid 2-D mesh — scenes "
                         "shard over this many data rows, each scene's "
                         "work over the remaining devices per row "
-                        "(DP x intra-scene; batch must divide it)")
+                        "(DP x intra-scene; must divide the batch size)")
     p.add_argument("--prefetch", type=int, default=2,
                    help="stage this many batches on-device ahead of the "
                         "running step (host gen + transfer overlap "
@@ -286,36 +286,30 @@ def main(argv=None):
     # prefetch: stage batches on-device up to N ahead of the running step
     # (same values in the same order — DeterministicBatches contract; the
     # bit-exact resume tests run through this path)
-    def _stage(b):
-        return {k: jnp.asarray(v) for k, v in b.items()}
+    import contextlib
 
-    if args.prefetch > 0:
-        from gspn_tpu.data.iterator import DevicePrefetcher
+    from gspn_tpu.data.iterator import make_feed
 
-        feed = DevicePrefetcher(
-            batches, depth=args.prefetch, stage=_stage
-        ).iterate(start_step)
-    else:
-        feed = ((i, _stage(batches.batch_at(i)))
-                for i in range(start_step, args.steps))
-
-    for i in range(start_step, args.steps):
-        fi, batch = next(feed)
-        assert fi == i
-        k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
-        batch = prep(batch, k_aug)
-        state, metrics = step_fn(state, batch, k_step)
-        if (i + 1) % args.log_every == 0 or i == start_step:
-            m = {k: float(v) for k, v in metrics.items()}
-            logger.log(int(state.step), m)
-            print(format_metrics(int(state.step), m))
-        if args.eval_every and (i + 1) % args.eval_every == 0:
-            vm = val_fn(state, val_batch, jax.random.PRNGKey(args.seed + 1))
-            vm = {f"val_{k}": float(v) for k, v in vm.items()}
-            logger.log(int(state.step), vm)
-            print(format_metrics(int(state.step), vm))
-        if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
-            ckpt.save(int(state.step), state)
+    feed = make_feed(
+        batches, start_step, args.steps, args.prefetch,
+        stage=lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+    )
+    with contextlib.closing(feed):
+        for i, batch in feed:
+            k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
+            batch = prep(batch, k_aug)
+            state, metrics = step_fn(state, batch, k_step)
+            if (i + 1) % args.log_every == 0 or i == start_step:
+                m = {k: float(v) for k, v in metrics.items()}
+                logger.log(int(state.step), m)
+                print(format_metrics(int(state.step), m))
+            if args.eval_every and (i + 1) % args.eval_every == 0:
+                vm = val_fn(state, val_batch, jax.random.PRNGKey(args.seed + 1))
+                vm = {f"val_{k}": float(v) for k, v in vm.items()}
+                logger.log(int(state.step), vm)
+                print(format_metrics(int(state.step), vm))
+            if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
+                ckpt.save(int(state.step), state)
     ckpt.close()
     logger.close()
     return state

@@ -184,15 +184,11 @@ def main(argv=None):
         )
 
         rows = getattr(args, "data_rows", 0)
-        frozen_cfg = None
-        if frozen is not None:
-            gm, gv, ns = frozen
-            frozen_cfg = (gm.config, gv, ns)
         step_fn = make_point_sharded_rpointnet_train_step(
             cfg, tx,
             make_mesh_2d(rows) if rows else make_mesh(axis="space"),
             args.max_instances,
-            frozen_gspn=frozen_cfg,
+            frozen_gspn=frozen,  # factory accepts the GSPN model directly
             mix_gt_boxes=not args.no_mix_gt_boxes,
             bn_momentum_fn=bn_fn,
             data_axis="data" if rows else None,
@@ -220,39 +216,33 @@ def main(argv=None):
             lambda s, b, r: loss_fn(s.params, s.batch_stats, b, r)[1][0]
         )
 
-    # prefetch (see train_gspn.py — same contract, resume stays bit-exact)
-    def _stage(b):
-        return {k: jnp.asarray(v) for k, v in b.items()}
+    # prefetch (see data/iterator.py — same contract, resume stays bit-exact)
+    import contextlib
 
-    if args.prefetch > 0:
-        from gspn_tpu.data.iterator import DevicePrefetcher
+    from gspn_tpu.data.iterator import make_feed
 
-        feed = DevicePrefetcher(
-            batches, depth=args.prefetch, stage=_stage
-        ).iterate(start_step)
-    else:
-        feed = ((i, _stage(batches.batch_at(i)))
-                for i in range(start_step, args.steps))
-
-    for i in range(start_step, args.steps):
-        fi, batch = next(feed)
-        assert fi == i
-        batch = dict(batch)
-        k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
-        if not args.no_augment:
-            batch["xyz"] = augment_scene(k_aug, batch["xyz"], batch["valid"])
-        state, metrics = step_fn(state, batch, k_step)
-        if (i + 1) % args.log_every == 0 or i == start_step:
-            m = {k: float(v) for k, v in metrics.items()}
-            logger.log(int(state.step), m)
-            print(format_metrics(int(state.step), m))
-        if args.eval_every and (i + 1) % args.eval_every == 0:
-            vm = val_fn(state, val_batch, jax.random.PRNGKey(args.seed + 1))
-            vm = {f"val_{k}": float(v) for k, v in vm.items()}
-            logger.log(int(state.step), vm)
-            print(format_metrics(int(state.step), vm))
-        if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
-            ckpt.save(int(state.step), state)
+    feed = make_feed(
+        batches, start_step, args.steps, args.prefetch,
+        stage=lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+    )
+    with contextlib.closing(feed):
+        for i, batch in feed:
+            batch = dict(batch)
+            k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
+            if not args.no_augment:
+                batch["xyz"] = augment_scene(k_aug, batch["xyz"], batch["valid"])
+            state, metrics = step_fn(state, batch, k_step)
+            if (i + 1) % args.log_every == 0 or i == start_step:
+                m = {k: float(v) for k, v in metrics.items()}
+                logger.log(int(state.step), m)
+                print(format_metrics(int(state.step), m))
+            if args.eval_every and (i + 1) % args.eval_every == 0:
+                vm = val_fn(state, val_batch, jax.random.PRNGKey(args.seed + 1))
+                vm = {f"val_{k}": float(v) for k, v in vm.items()}
+                logger.log(int(state.step), vm)
+                print(format_metrics(int(state.step), vm))
+            if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
+                ckpt.save(int(state.step), state)
     ckpt.close()
     logger.close()
     return state

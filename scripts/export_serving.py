@@ -94,9 +94,12 @@ def main(argv=None):
         cfg, jax.random.PRNGKey(0), args.num_points,
         feature_dim=args.feature_dim,
     )
+    from gspn_tpu.eval.run_eval import _check_ckpt_feature_dim
+
     for name, ckpt in (("gspn", args.gspn_ckpt),
                        ("rpointnet", args.rpointnet_ckpt)):
         if ckpt:
+            _check_ckpt_feature_dim(ckpt, name, args.feature_dim)
             variables[name] = restore_variable_collections(
                 ckpt, variables[name]
             )

@@ -191,6 +191,35 @@ def test_device_prefetcher_matches_batch_at():
     assert len(staged) >= 5
 
 
+def test_device_prefetcher_bounded_and_make_feed():
+    """iterate(start, stop) yields exactly [start, stop) and the worker
+    never generates past stop; make_feed matches with and without
+    prefetch (the trainers' feed contract)."""
+    from gspn_tpu.data.iterator import DevicePrefetcher, make_feed
+
+    generated = []
+
+    def sample(r, b):
+        batch = synthetic.scene_batch(r, b, n_points=64, max_instances=2)
+        generated.append(int(batch["xyz"].sum() * 0))  # count calls
+        return batch
+
+    db = DeterministicBatches(sample, batch_size=2, seed=5)
+    got = list(DevicePrefetcher(db, depth=4).iterate(3, 6))
+    assert [s for s, _ in got] == [3, 4, 5]
+    assert len(generated) <= 6  # bounded: never runs past stop_step
+
+    for prefetch in (0, 2):
+        feed = make_feed(db, 3, 6, prefetch)
+        steps = []
+        for s, b in feed:
+            steps.append(s)
+            ref = db.batch_at(s)
+            np.testing.assert_array_equal(b["xyz"], ref["xyz"])
+        assert steps == [3, 4, 5]
+        feed.close()
+
+
 def test_device_prefetcher_propagates_errors():
     from gspn_tpu.data.iterator import DevicePrefetcher
 

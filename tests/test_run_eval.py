@@ -70,6 +70,28 @@ def test_run_eval_from_artifact_matches_live(tmp_path):
     assert served["ap_25"] == live["ap_25"]
 
 
+def test_run_eval_flag_validation():
+    """Fixed-shape serving paths reject configurations they cannot run,
+    at parse time (not mid-eval): --artifact + --point-sharded conflict,
+    --data-rows without --point-sharded, row/batch indivisibility, and
+    ragged final batches (num_scenes % batch != 0)."""
+    import pytest
+
+    base = ["--num-scenes", "4", "--batch", "2", "--preset", "tiny"]
+    for bad in (
+        ["--artifact", "x.gspnx", "--point-sharded"],
+        ["--data-rows", "2"],
+        ["--point-sharded", "--data-rows", "3"],
+        ["--artifact", "x.gspnx", "--num-scenes", "3"],
+        ["--point-sharded", "--data-rows", "2", "--num-scenes", "3"],
+    ):
+        with pytest.raises(SystemExit):
+            run_eval.parse_args(base + bad)
+    # the valid combinations still parse
+    run_eval.parse_args(base + ["--artifact", "x.gspnx"])
+    run_eval.parse_args(base + ["--point-sharded", "--data-rows", "2"])
+
+
 def test_scannet_submission_roundtrip(tmp_path):
     """The official-format writer/reader are exact inverses, and the
     written layout matches the official evaluator's expectations

@@ -269,6 +269,32 @@ def test_hybrid_2d_rpointnet_step_equals_single_full_batch(rng):
     _assert_tree_close(s1.batch_stats, s2.batch_stats)
 
 
+def test_trainer_cli_point_sharded_end_to_end(tmp_path):
+    """The --point-sharded / --data-rows CLI wiring in both trainers:
+    stage 1 seed-sharded on the 1-D mesh, then stage 2 restoring that
+    checkpoint as the frozen GSPN on a hybrid 2x4 mesh (covers passing
+    the GSPN *model* through frozen_gspn — the factory's isinstance
+    shim)."""
+    from gspn_tpu.train import train_gspn, train_rpointnet
+
+    s1 = train_gspn.main([
+        "--steps", "2", "--batch", "2", "--num-points", "128",
+        "--num-seeds", "8", "--gt-size", "16", "--preset", "tiny",
+        "--log-every", "100", "--ckpt-every", "2", "--point-sharded",
+        "--log-dir", str(tmp_path / "s1"),
+    ])
+    assert int(s1.step) == 2
+    s2 = train_rpointnet.main([
+        "--steps", "2", "--batch", "2", "--num-points", "128",
+        "--num-seeds", "8", "--max-instances", "4", "--num-classes", "3",
+        "--preset", "tiny", "--log-every", "100", "--ckpt-every", "2",
+        "--point-sharded", "--data-rows", "2",
+        "--gspn-ckpt", str(tmp_path / "s1" / "ckpt"),
+        "--log-dir", str(tmp_path / "s2"),
+    ])
+    assert int(s2.step) == 2
+
+
 def test_sharded_train_rejects_bad_configs():
     mesh = make_mesh(8, axis="space")
     tx = optax.sgd(1.0)
