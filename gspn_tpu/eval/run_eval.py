@@ -68,6 +68,11 @@ def parse_args(argv=None):
                         "--batch/--num-points and the restored variables")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--preset", choices=["default", "tiny"], default="default")
+    p.add_argument("--width-mult", type=int, default=1,
+                   help="MLP width multiplier — must match the value the "
+                        "checkpoints were trained with")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="MLP/head compute dtype for inference")
     p.add_argument("--box-percentile", type=float, default=0.0,
                    help=">0: outlier-trimmed proposal box extents")
     p.add_argument("--score-thresh", type=float, default=0.05)
@@ -143,6 +148,18 @@ def main(argv=None):
             num_seeds=args.num_seeds,
             box_percentile=args.box_percentile,
             score_thresh=args.score_thresh,
+        )
+    if args.width_mult != 1:
+        from gspn_tpu.models.presets import scale_pipeline_widths
+
+        cfg = scale_pipeline_widths(cfg, args.width_mult)
+    if args.dtype == "bf16":
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            gspn=dataclasses.replace(cfg.gspn, dtype=jnp.bfloat16),
+            rpointnet=dataclasses.replace(cfg.rpointnet, dtype=jnp.bfloat16),
         )
     key = jax.random.PRNGKey(args.seed)
 

@@ -18,6 +18,60 @@ from gspn_tpu.models.pipeline import PipelineConfig
 from gspn_tpu.models.rpointnet import RPointNetConfig
 
 
+def _scale(t, m):
+    return tuple(int(x * m) for x in t)
+
+
+def scale_gspn_widths(cfg: GSPNConfig, mult: int) -> GSPNConfig:
+    """Scale every GSPN MLP/FC width (and the conditioning dim) by
+    ``mult``. Latent dim and context geometry are untouched. The bf16
+    width study (STATUS.md) uses this; trainers expose it as
+    ``--width-mult`` — stage-2 / eval restores must use the same
+    multiplier as the checkpoint they load."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        encoder_mlp=_scale(cfg.encoder_mlp, mult),
+        center_mlp=_scale(cfg.center_mlp, mult),
+        center_fc=_scale(cfg.center_fc, mult),
+        generator_fc=_scale(cfg.generator_fc, mult),
+        objectness_fc=_scale(cfg.objectness_fc, mult),
+        cond_dim=int(cfg.cond_dim * mult),
+    )
+
+
+def scale_rpointnet_widths(cfg: RPointNetConfig, mult: int) -> RPointNetConfig:
+    """Scale every backbone/head MLP width by ``mult`` (sampling
+    geometry — npoint/radius/nsample/roi_samples — untouched)."""
+    import dataclasses
+
+    from gspn_tpu.models.rpointnet import SALayerSpec
+
+    return dataclasses.replace(
+        cfg,
+        sa_layers=tuple(
+            SALayerSpec(s.npoint, s.radius, s.nsample, _scale(s.mlp, mult))
+            for s in cfg.sa_layers
+        ),
+        fp_mlps=tuple(_scale(m, mult) for m in cfg.fp_mlps),
+        roi_mlp=_scale(cfg.roi_mlp, mult),
+        cls_fc=_scale(cfg.cls_fc, mult),
+        box_fc=_scale(cfg.box_fc, mult),
+        mask_mlp=_scale(cfg.mask_mlp, mult),
+    )
+
+
+def scale_pipeline_widths(cfg: PipelineConfig, mult: int) -> PipelineConfig:
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        gspn=scale_gspn_widths(cfg.gspn, mult),
+        rpointnet=scale_rpointnet_widths(cfg.rpointnet, mult),
+    )
+
+
 def scannet_pipeline(
     num_seeds: int = 64,
     num_classes: int = 18,

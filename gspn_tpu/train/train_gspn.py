@@ -48,6 +48,16 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--resume", action="store_true",
                    help="restore the latest checkpoint under --log-dir and "
                         "continue the exact run (same data stream + rng)")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
+                   help="MLP/head compute dtype (params stay f32; point-op "
+                        "kernels always f32). bf16 is MXU-native and wins "
+                        "on train steps at --width-mult >= 2 (STATUS.md "
+                        "width study)")
+    p.add_argument("--width-mult", type=int, default=1,
+                   help="multiply every MLP/FC width (sampling geometry "
+                        "unchanged; models/presets.py scale_*_widths). "
+                        "Stage-2/eval restores must pass the same value "
+                        "as the checkpoint was trained with")
 
 
 def parse_args(argv=None):
@@ -199,6 +209,12 @@ def main(argv=None):
         cfg = GSPNConfig()
     if fdim != cfg.feature_dim:  # consume RGB & friends when the data has them
         cfg = dataclasses.replace(cfg, feature_dim=fdim)
+    if args.width_mult != 1:
+        from gspn_tpu.models.presets import scale_gspn_widths
+
+        cfg = scale_gspn_widths(cfg, args.width_mult)
+    if args.dtype == "bf16":
+        cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
     model = GSPN(cfg)
     tx = optax.adam(build_lr_schedule(args))
     bn_fn = (

@@ -115,6 +115,12 @@ def main(argv=None):
     )
     if fdim != cfg.feature_dim:  # backbone consumes RGB & friends
         cfg = dataclasses.replace(cfg, feature_dim=fdim)
+    if args.width_mult != 1:
+        from gspn_tpu.models.presets import scale_rpointnet_widths
+
+        cfg = scale_rpointnet_widths(cfg, args.width_mult)
+    if args.dtype == "bf16":
+        cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
     model = RPointNet(cfg)
     tx = optax.adam(build_lr_schedule(args))
     bn_fn = (
@@ -133,6 +139,12 @@ def main(argv=None):
         gcfg = TINY_GSPN if args.preset == "tiny" else GSPNConfig()
         if fdim != gcfg.feature_dim:  # must match the stage-1 checkpoint
             gcfg = dataclasses.replace(gcfg, feature_dim=fdim)
+        if args.width_mult != 1:  # must match the stage-1 --width-mult
+            from gspn_tpu.models.presets import scale_gspn_widths
+
+            gcfg = scale_gspn_widths(gcfg, args.width_mult)
+        if args.dtype == "bf16":
+            gcfg = dataclasses.replace(gcfg, dtype=jnp.bfloat16)
         gmodel = GSPN(gcfg)
         from gspn_tpu import ops
         from gspn_tpu.data.instances import gather_seed_instances

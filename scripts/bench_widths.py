@@ -15,7 +15,6 @@ decision until real data exists.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import pathlib
 import sys
 
@@ -28,37 +27,10 @@ import numpy as np
 B, N = 8, 8192
 
 
-def _scale(t, m):
-    return tuple(int(x * m) for x in t)
-
-
 def scaled_pipeline(mult: int, dtype):
-    from gspn_tpu.models.presets import scannet_pipeline
-    from gspn_tpu.models import rpointnet as rp
+    from gspn_tpu.models.presets import scale_pipeline_widths, scannet_pipeline
 
-    cfg = scannet_pipeline(dtype=dtype)
-    g = dataclasses.replace(
-        cfg.gspn,
-        encoder_mlp=_scale(cfg.gspn.encoder_mlp, mult),
-        center_mlp=_scale(cfg.gspn.center_mlp, mult),
-        center_fc=_scale(cfg.gspn.center_fc, mult),
-        generator_fc=_scale(cfg.gspn.generator_fc, mult),
-        objectness_fc=_scale(cfg.gspn.objectness_fc, mult),
-        cond_dim=cfg.gspn.cond_dim * mult,
-    )
-    r = dataclasses.replace(
-        cfg.rpointnet,
-        sa_layers=tuple(
-            rp.SALayerSpec(s.npoint, s.radius, s.nsample, _scale(s.mlp, mult))
-            for s in cfg.rpointnet.sa_layers
-        ),
-        fp_mlps=tuple(_scale(m, mult) for m in cfg.rpointnet.fp_mlps),
-        roi_mlp=_scale(cfg.rpointnet.roi_mlp, mult),
-        cls_fc=_scale(cfg.rpointnet.cls_fc, mult),
-        box_fc=_scale(cfg.rpointnet.box_fc, mult),
-        mask_mlp=_scale(cfg.rpointnet.mask_mlp, mult),
-    )
-    return dataclasses.replace(cfg, gspn=g, rpointnet=r)
+    return scale_pipeline_widths(scannet_pipeline(dtype=dtype), mult)
 
 
 def main():

@@ -45,6 +45,10 @@ def parse_args(argv=None):
     p.add_argument("--num-classes", type=int, default=18)
     p.add_argument("--feature-dim", type=int, default=0)
     p.add_argument("--preset", choices=["default", "tiny"], default="default")
+    p.add_argument("--width-mult", type=int, default=1,
+                   help="MLP width multiplier — must match the "
+                        "checkpoints' training value")
+    p.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     p.add_argument("--score-thresh", type=float, default=0.05)
     p.add_argument("--platform", type=str, default=None,
                    help="export platform (tpu|cpu; default: current)")
@@ -88,6 +92,16 @@ def main(argv=None):
             rpointnet=dataclasses.replace(
                 cfg.rpointnet, feature_dim=args.feature_dim
             ),
+        )
+    if args.width_mult != 1:
+        from gspn_tpu.models.presets import scale_pipeline_widths
+
+        cfg = scale_pipeline_widths(cfg, args.width_mult)
+    if args.dtype == "bf16":
+        cfg = dataclasses.replace(
+            cfg,
+            gspn=dataclasses.replace(cfg.gspn, dtype=jnp.bfloat16),
+            rpointnet=dataclasses.replace(cfg.rpointnet, dtype=jnp.bfloat16),
         )
 
     variables = init_pipeline_variables(

@@ -182,6 +182,34 @@ def test_compact_instance_ids_overflow_falls_back():
     np.testing.assert_array_equal(out, np.repeat(np.arange(1, 6000), 2))
 
 
+def test_width_mult_bf16_train_and_eval_restore(tmp_path):
+    """--width-mult / --dtype bf16 flags: the trainer builds the scaled
+    bf16 model (params stay f32) and run_eval restores the checkpoint
+    when given the same multiplier — the shapes round-trip."""
+    from gspn_tpu.eval import run_eval
+    from gspn_tpu.train import train_gspn
+
+    args = [
+        "--steps", "2", "--batch", "2", "--num-points", "128",
+        "--num-seeds", "8", "--gt-size", "16", "--preset", "tiny",
+        "--log-every", "100", "--ckpt-every", "2",
+        "--width-mult", "2", "--dtype", "bf16",
+        "--log-dir", str(tmp_path / "w2"),
+    ]
+    state = train_gspn.main(args)
+    assert int(state.step) == 2
+    # params stay f32 even with bf16 compute
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    assert leaf.dtype == jnp.float32
+    res = run_eval.main([
+        "--num-scenes", "2", "--batch", "2", "--num-points", "128",
+        "--num-seeds", "8", "--num-classes", "3", "--preset", "tiny",
+        "--width-mult", "2", "--dtype", "bf16",
+        "--gspn-ckpt", str(tmp_path / "w2" / "ckpt"),
+    ])
+    assert "ap" in res
+
+
 def test_stage2_and_eval_restore_schedule_trained_ckpt(tmp_path):
     """Regression: a stage-1 checkpoint trained WITH an lr schedule has a
     different opt_state pytree than constant-lr adam; frozen-GSPN restore
