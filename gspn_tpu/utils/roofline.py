@@ -255,3 +255,114 @@ def pipeline_cost(cfg, b: int, n: int) -> dict[str, Cost]:
         total = total + v
     stages["total"] = total
     return stages
+
+
+# ---------------------------------------------------------------------------
+# Training-step model
+# ---------------------------------------------------------------------------
+
+
+def _with_grad(c: Cost) -> Cost:
+    """Forward + backward for a parameterized (matmul-dominated) stage:
+    dgrad + wgrad double the matmul FLOPs (3x total), activations are
+    re-read and grads written (~3x the fusion-optimal HBM floor), and
+    elementwise work roughly triples (recompute/chain-rule passes)."""
+    return Cost(3.0 * c.mxu_flops, 3.0 * c.vpu_ops, 3.0 * c.hbm_bytes)
+
+
+def _adam_cost(params: float) -> Cost:
+    """Adam update: ~10 VPU ops/param; read params+m+v+grad, write
+    params+m+v (~7 tensors)."""
+    return Cost(vpu_ops=10.0 * params, hbm_bytes=7.0 * params * _B)
+
+
+def _mlp_params(cin: int, widths) -> float:
+    p, ci = 0.0, cin
+    for w in widths:
+        p += ci * w + 3.0 * w  # kernel + bias + BN scale/shift
+        ci = w
+    return p
+
+
+def train_step_cost(cfg, b: int, n: int, gt_size: int = 256,
+                    stage: int = 1) -> dict[str, Cost]:
+    """Per-stage Cost for one jitted TRAIN step (train/steps.py) at
+    batch ``b`` x ``n`` points. ``stage`` 1 = GSPN CVAE (context crops +
+    recognition net + chamfer/KL losses + adam); 2 = R-PointNet with
+    frozen-GSPN proposals (frozen forward is fwd-only; backbone + heads
+    take the backward pass). Index-producing point ops (FPS, ball query
+    structure, NMS) carry no gradient and stay fwd-only. The backward
+    multipliers are the standard 3x-matmul approximation — floors, not
+    exact counts; measured times sit above them."""
+    g, r = cfg.gspn, cfg.rpointnet
+    s = cfg.num_seeds
+    fdim = g.feature_dim
+    infer = pipeline_cost(cfg, b, n)
+    stages: dict[str, Cost] = {}
+
+    if stage == 1:
+        stages["fps(seeds)"] = fps_cost(b, n, s)
+        # context crops: structure fwd-only; the encoder/center/CVAE/
+        # generator/objectness MLP work is inside infer's "gspn forward",
+        # which also contains the (fwd-only) ball_group cost — separate
+        # them so only the MLP share gets the backward multiplier.
+        crops = ball_group_cost(b, s, n, g.context_nsample)
+        mlps = infer["gspn forward"] + Cost(
+            -crops.mxu_flops, -crops.vpu_ops, -crops.hbm_bytes
+        )
+        stages["context crops"] = crops
+        stages["gspn mlps fwd+bwd"] = _with_grad(mlps)
+        # recognition net: encodes the GT instance set (train only)
+        stages["recognition net"] = _with_grad(
+            mlp_cost(b * s * gt_size, 3, g.encoder_mlp)
+        )
+        # chamfer: (gen, gt) distance matrix both directions in one pass
+        # (~20 ops/pair) + gather re-expression grads (~2x)
+        stages["chamfer loss"] = Cost(
+            vpu_ops=2.0 * 20.0 * b * s * g.num_gen_points * gt_size,
+            hbm_bytes=b * s * (g.num_gen_points + gt_size) * 3 * 2 * _B,
+        )
+        params = (
+            len(g.context_nsample)
+            * (_mlp_params(3 + fdim, g.encoder_mlp)
+               + _mlp_params(3 + fdim, g.center_mlp))
+            + _mlp_params(len(g.context_nsample) * g.encoder_mlp[-1],
+                          g.center_fc + (3,))
+            + 2 * _mlp_params(len(g.context_nsample) * g.encoder_mlp[-1],
+                              (g.cond_dim,))
+            + _mlp_params(g.cond_dim + g.latent_dim,
+                          g.generator_fc + (g.num_gen_points * 3,))
+            + _mlp_params(g.cond_dim, g.objectness_fc + (1,))
+        )
+        stages["adam"] = _adam_cost(params)
+    else:
+        # frozen GSPN proposals: forward only
+        stages["fps(shared)"] = infer["fps(shared seeds+sa1)"]
+        stages["frozen gspn fwd"] = infer["gspn forward"]
+        # backbone + heads: fwd + bwd
+        for name in list(infer):
+            if name.startswith(("sa", "fp")) or name == "roi+heads":
+                stages[f"{name} fwd+bwd"] = _with_grad(infer[name])
+        # fg/bg matching: IoU of (R rois x I instances) boxes
+        stages["roi matching"] = Cost(vpu_ops=20.0 * b * (2 * s) * 32)
+        params = 0.0
+        cin = 3 + fdim
+        for spec in r.sa_layers:
+            params += _mlp_params(cin, spec.mlp)
+            cin = spec.mlp[-1] + 3
+        lvl_c = [3 + fdim] + [sp.mlp[-1] for sp in r.sa_layers]
+        for i, mlp in enumerate(reversed(r.fp_mlps)):
+            src_c = lvl_c[-1 - i] if i == 0 else tuple(reversed(r.fp_mlps))[i - 1][-1]
+            params += _mlp_params(src_c + lvl_c[-2 - i], mlp)
+        params += _mlp_params(r.fp_mlps[0][-1] + 3, r.roi_mlp)
+        pooled = r.roi_mlp[-1]
+        params += _mlp_params(pooled, r.cls_fc + (r.num_classes + 1,))
+        params += _mlp_params(pooled, r.box_fc + (6,))
+        params += _mlp_params(r.roi_mlp[-1], r.mask_mlp + (1,))
+        stages["adam"] = _adam_cost(params)
+
+    total = Cost()
+    for v in stages.values():
+        total = total + v
+    stages["total"] = total
+    return stages

@@ -76,12 +76,23 @@ def main():
     gstep = make_train_step(
         make_gspn_loss_fn(gmodel, args.num_seeds, args.gt_size), tx
     )
+    from gspn_tpu.models.pipeline import PipelineConfig
+    from gspn_tpu.utils.roofline import train_step_cost
+
     dt = time_fn(gstep, gstate, batch, key, iters=args.iters, warmup=3)
+    pcfg = PipelineConfig(gspn=gcfg, rpointnet=RPointNetConfig(dtype=dtype),
+                          num_seeds=args.num_seeds)
+    rep1 = train_step_cost(pcfg, b, n, gt_size=args.gt_size, stage=1)[
+        "total"
+    ].report(dt)
     rows.append({
         "metric": f"gspn_train_points_per_sec_per_chip_{args.dtype}",
         "value": round(b * n / dt, 1),
         "unit": "points/sec",
         "step_ms": round(dt * 1e3, 3),
+        "roofline_frac": round(rep1["frac_of_roof"], 4),
+        "roofline_bound": rep1["bound"],
+        "mfu": round(rep1["mfu"], 5),
     })
 
     # ---- stage 2 (R-PointNet, frozen stage-1 proposals)
@@ -99,11 +110,18 @@ def main():
         make_rpointnet_loss_fn(rmodel, max_instances=16, frozen_gspn=frozen), tx
     )
     dt = time_fn(rstep, rstate, batch, key, iters=args.iters, warmup=3)
+    rep2 = train_step_cost(
+        PipelineConfig(gspn=gcfg, rpointnet=rcfg, num_seeds=args.num_seeds),
+        b, n, gt_size=args.gt_size, stage=2,
+    )["total"].report(dt)
     rows.append({
         "metric": f"rpointnet_train_points_per_sec_per_chip_{args.dtype}",
         "value": round(b * n / dt, 1),
         "unit": "points/sec",
         "step_ms": round(dt * 1e3, 3),
+        "roofline_frac": round(rep2["frac_of_roof"], 4),
+        "roofline_bound": rep2["bound"],
+        "mfu": round(rep2["mfu"], 5),
     })
 
     for r in rows:

@@ -34,6 +34,31 @@ def test_mlp_cost_formula():
     assert c.hbm_bytes == 100 * (3 + 16) * 4
 
 
+def test_train_step_cost_structure():
+    """Both stages: positive, additive, physically sensible, and a train
+    step costs MORE than the matching inference slice (backward pass +
+    optimizer can't be free)."""
+    cfg = scannet_pipeline()
+    infer = rf.pipeline_cost(cfg, b=4, n=4096)
+    for stage in (1, 2):
+        stages = rf.train_step_cost(cfg, b=4, n=4096, gt_size=256,
+                                    stage=stage)
+        assert "total" in stages and "adam" in stages
+        total = stages["total"]
+        partial = rf.Cost()
+        for k, v in stages.items():
+            assert v.mxu_flops >= 0 and v.vpu_ops >= 0 and v.hbm_bytes >= 0, k
+            if k != "total":
+                partial = partial + v
+        assert np.isclose(partial.vpu_ops, total.vpu_ops)
+        assert 1e-5 < total.floors()["floor"] < 1e-2
+    # stage-2 training covers the full backbone fwd+bwd: more work than
+    # the whole inference pipeline at the same shapes
+    s2 = rf.train_step_cost(cfg, b=4, n=4096, stage=2)["total"]
+    assert s2.mxu_flops > infer["total"].mxu_flops
+    assert s2.vpu_ops > 0
+
+
 def test_pipeline_cost_structure():
     cfg = scannet_pipeline()
     stages = rf.pipeline_cost(cfg, b=8, n=8192)
