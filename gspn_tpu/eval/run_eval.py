@@ -38,6 +38,9 @@ def parse_args(argv=None):
     p.add_argument("--gspn-ckpt", type=str, default=None)
     p.add_argument("--rpointnet-ckpt", type=str, default=None)
     p.add_argument("--scannet-dir", type=str, default=None)
+    p.add_argument("--partnet-dir", type=str, default=None,
+                   help="PartNet h5 dir: part-instance segmentation eval "
+                        "(BASELINE config 5 workload)")
     p.add_argument("--num-scenes", type=int, default=16)
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--num-points", type=int, default=4096)
@@ -165,11 +168,16 @@ def main(argv=None):
 
     # data source — each batches() call creates its own rng so probing
     # shapes below does not perturb the evaluated scene stream
-    if args.scannet_dir:
-        from gspn_tpu.data.scannet import ScanNetCrops
+    if args.scannet_dir or args.partnet_dir:
+        if args.scannet_dir:
+            from gspn_tpu.data.scannet import ScanNetCrops
 
-        ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points,
-                          morton=args.morton)
+            ds = ScanNetCrops(args.scannet_dir, num_points=args.num_points,
+                              morton=args.morton)
+        else:  # PartNet part-instance workload (BASELINE config 5)
+            from gspn_tpu.data.partnet import PartNetParts
+
+            ds = PartNetParts(args.partnet_dir, num_points=args.num_points)
 
         def batches():
             np_rng = np.random.default_rng(args.seed)

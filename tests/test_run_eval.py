@@ -70,6 +70,27 @@ def test_run_eval_from_artifact_matches_live(tmp_path):
     assert served["ap_25"] == live["ap_25"]
 
 
+def test_run_eval_partnet_source(tmp_path):
+    """--partnet-dir drives the eval from PartNet h5 part-instance data
+    (BASELINE config 5 workload)."""
+    import h5py
+
+    rng = np.random.default_rng(0)
+    b, n = 6, 96
+    with h5py.File(tmp_path / "p0.h5", "w") as f:
+        f.create_dataset(
+            "pts", data=rng.standard_normal((b, n, 3)).astype(np.float32)
+        )
+        f.create_dataset("label", data=rng.integers(0, 3, (b, n)))
+        f.create_dataset("ins_label", data=rng.integers(-1, 4, (b, n)))
+    res = run_eval.main([
+        "--num-scenes", "2", "--batch", "2", "--num-points", "64",
+        "--num-seeds", "8", "--num-classes", "3", "--preset", "tiny",
+        "--partnet-dir", str(tmp_path),
+    ])
+    assert set(res) >= {"ap", "ap_50", "ap_25", "per_class"}
+
+
 def test_run_eval_flag_validation():
     """Fixed-shape serving paths reject configurations they cannot run,
     at parse time (not mid-eval): --artifact + --point-sharded conflict,
