@@ -58,6 +58,10 @@ def add_common_args(p: argparse.ArgumentParser):
                         "unchanged; models/presets.py scale_*_widths). "
                         "Stage-2/eval restores must pass the same value "
                         "as the checkpoint was trained with")
+    p.add_argument("--profile-steps", type=int, default=0,
+                   help="capture a jax.profiler device trace of this many "
+                        "steps (after one warmup step) under "
+                        "{log_dir}/trace — Perfetto/TensorBoard viewable")
 
 
 def parse_args(argv=None):
@@ -310,8 +314,14 @@ def main(argv=None):
         batches, start_step, args.steps, args.prefetch,
         stage=lambda b: {k: jnp.asarray(v) for k, v in b.items()},
     )
+    from gspn_tpu.utils.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(
+        f"{args.log_dir}/trace", start_step + 1, args.profile_steps
+    )
     with contextlib.closing(feed):
         for i, batch in feed:
+            tracer.tick(i)
             k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
             batch = prep(batch, k_aug)
             state, metrics = step_fn(state, batch, k_step)
@@ -326,6 +336,7 @@ def main(argv=None):
                 print(format_metrics(int(state.step), vm))
             if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
                 ckpt.save(int(state.step), state)
+    tracer.close()
     ckpt.close()
     logger.close()
     return state

@@ -237,8 +237,15 @@ def main(argv=None):
         batches, start_step, args.steps, args.prefetch,
         stage=lambda b: {k: jnp.asarray(v) for k, v in b.items()},
     )
+    from gspn_tpu.utils.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(
+        f"{args.log_dir}/trace", start_step + 1,
+        getattr(args, "profile_steps", 0),
+    )
     with contextlib.closing(feed):
         for i, batch in feed:
+            tracer.tick(i)
             batch = dict(batch)
             k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
             if not args.no_augment:
@@ -255,6 +262,7 @@ def main(argv=None):
                 print(format_metrics(int(state.step), vm))
             if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
                 ckpt.save(int(state.step), state)
+    tracer.close()
     ckpt.close()
     logger.close()
     return state

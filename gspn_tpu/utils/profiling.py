@@ -59,3 +59,33 @@ class StepTimer:
 def annotate(name: str):
     """Named region visible in profiler traces (TraceAnnotation)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+class StepTraceWindow:
+    """Trace a contiguous window of training steps (the trainers'
+    ``--profile-steps N`` flag): capture begins at the first post-warmup
+    step (``start``) and ends ``count`` steps later. ``tick(i)`` is
+    called once per step index; ``close()`` guarantees the trace is
+    stopped even if training ends inside the window."""
+
+    def __init__(self, log_dir, start: int, count: int):
+        self.log_dir = pathlib.Path(log_dir)
+        self.start = start
+        self.count = count
+        self._active = False
+
+    def tick(self, i: int):
+        if self.count <= 0:
+            return
+        if not self._active and i == self.start:
+            self.log_dir.mkdir(parents=True, exist_ok=True)
+            jax.profiler.start_trace(str(self.log_dir))
+            self._active = True
+        elif self._active and i >= self.start + self.count:
+            self.close()
+
+    def close(self):
+        if self._active:
+            jax.profiler.stop_trace()
+            self._active = False
+            print(f"profiler trace written under {self.log_dir}")
