@@ -193,8 +193,12 @@ class ScanNetCrops:
         }
 
     def sample_batch(self, rng: np.random.Generator, batch: int) -> dict:
-        crops = [
-            self.crop(rng, int(rng.integers(0, len(self.paths))))
-            for _ in range(batch)
-        ]
-        return {k: np.stack([c[k] for c in crops]) for k in crops[0]}
+        """Batch of crops. ``scene_ids`` (list of str, the source .npz
+        stem, e.g. ``scene0707_00``) rides along for the official
+        submission export — consumers that device-put the batch must
+        skip it (run_eval does)."""
+        idx = [int(rng.integers(0, len(self.paths))) for _ in range(batch)]
+        crops = [self.crop(rng, i) for i in idx]
+        out = {k: np.stack([c[k] for c in crops]) for k in crops[0]}
+        out["scene_ids"] = [self.paths[i].stem for i in idx]
+        return out

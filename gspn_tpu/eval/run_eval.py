@@ -275,7 +275,9 @@ def main(argv=None):
 
     scene_i = 0
     for batch in batches():
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        jb = {
+            k: jnp.asarray(v) for k, v in batch.items() if k != "scene_ids"
+        }
         feats = jb["features"] if jb["features"].shape[-1] else None
         t0 = _time.perf_counter()
         preds = infer(variables, jb["xyz"], feats, jb["valid"], key)

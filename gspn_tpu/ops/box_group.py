@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gspn_tpu.ops.ball_group import _NC, _NW, _UNROLL
+from gspn_tpu.ops import ball_group as _bg
 from gspn_tpu.ops.common import resolve_impl, round_up
 
 
@@ -215,8 +215,11 @@ def _relevant_chunks_box(boxes, xyz1, valid1, nc, npad, tm, mpad):
 def _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret):
     b, n, _ = xyz1.shape
     r = boxes.shape[1]
-    nw = min(_NW, round_up(n, 128))
-    nc = round_up(min(_NC, round_up(n, 128)), nw)
+    # read the shared knobs at CALL time so runtime retuning of
+    # ball_group's globals (scripts/sweep_ballgroup.py pattern)
+    # reaches this kernel too — an import-by-value would snapshot
+    nw = min(_bg._NW, round_up(n, 128))
+    nc = round_up(min(_bg._NC, round_up(n, 128)), nw)
     npad = round_up(n, nc)
     tm = min(128, round_up(r, 8))
     mpad = round_up(r, tm)
@@ -271,7 +274,7 @@ def _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret):
             nw=nw,
             ntiles=mpad // tm,
             with_coords=with_coords,
-            unroll=_UNROLL,
+            unroll=_bg._UNROLL,
         ),
         grid=(b, mpad // tm),
         in_specs=[

@@ -31,6 +31,13 @@ from gspn_tpu.train.schedules import bn_momentum_schedule, build_lr_schedule
 from gspn_tpu.train.steps import TrainState, make_gspn_loss_fn, make_train_step
 
 
+def device_batch(b: dict) -> dict:
+    """Stage a host batch on device. Host-only metadata (``scene_ids``,
+    a list of strings from ScanNetCrops) stays off-device — training
+    never needs it."""
+    return {k: jnp.asarray(v) for k, v in b.items() if k != "scene_ids"}
+
+
 def add_common_args(p: argparse.ArgumentParser):
     """Flags shared by both stage trainers (reference trainer family idiom)."""
     p.add_argument("--lr", type=float, default=1e-3)
@@ -200,7 +207,7 @@ def main(argv=None):
 
     # deterministic data stream: batch i depends only on (seed, i)
     batches = DeterministicBatches(make_sample_fn(args), args.batch, args.seed)
-    first = {k: jnp.asarray(v) for k, v in batches.batch_at(0).items()}
+    first = device_batch(batches.batch_at(0))
     fdim = batch_feature_dim(first)
 
     if args.preset == "tiny":
@@ -293,12 +300,11 @@ def main(argv=None):
     val_fn = None
     if args.eval_every:
         # held-out batch from a disjoint stream (never collides with train)
-        val_batch = {
-            k: jnp.asarray(v)
-            for k, v in DeterministicBatches(
+        val_batch = device_batch(
+            DeterministicBatches(
                 make_sample_fn(args), args.batch, args.seed + 1_000_003
-            ).batch_at(0).items()
-        }
+            ).batch_at(0)
+        )
         val_fn = jax.jit(
             lambda s, b, r: loss_fn(s.params, s.batch_stats, b, r)[1][0]
         )
@@ -312,7 +318,7 @@ def main(argv=None):
 
     feed = make_feed(
         batches, start_step, args.steps, args.prefetch,
-        stage=lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+        stage=device_batch,
     )
     from gspn_tpu.utils.profiling import StepTraceWindow
 

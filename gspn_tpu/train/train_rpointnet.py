@@ -33,6 +33,7 @@ from gspn_tpu.train.steps import (
 from gspn_tpu.train.train_gspn import (
     add_common_args,
     batch_feature_dim,
+    device_batch,
     make_sample_fn,
     restore_or_init,
 )
@@ -104,7 +105,7 @@ def main(argv=None):
     args = parse_args(argv)
 
     batches = DeterministicBatches(make_sample_fn(args), args.batch, args.seed)
-    first = {k: jnp.asarray(v) for k, v in batches.batch_at(0).items()}
+    first = device_batch(batches.batch_at(0))
     fdim = batch_feature_dim(first)
     feats0 = first.get("features") if fdim else None
 
@@ -218,12 +219,11 @@ def main(argv=None):
     val_batch = None
     val_fn = None
     if args.eval_every:
-        val_batch = {
-            k: jnp.asarray(v)
-            for k, v in DeterministicBatches(
+        val_batch = device_batch(
+            DeterministicBatches(
                 make_sample_fn(args), args.batch, args.seed + 1_000_003
-            ).batch_at(0).items()
-        }
+            ).batch_at(0)
+        )
         val_fn = jax.jit(
             lambda s, b, r: loss_fn(s.params, s.batch_stats, b, r)[1][0]
         )
@@ -235,7 +235,7 @@ def main(argv=None):
 
     feed = make_feed(
         batches, start_step, args.steps, args.prefetch,
-        stage=lambda b: {k: jnp.asarray(v) for k, v in b.items()},
+        stage=device_batch,
     )
     from gspn_tpu.utils.profiling import StepTraceWindow
 

@@ -227,19 +227,27 @@ def pipeline_cost(cfg, b: int, n: int) -> dict[str, Cost]:
         stages[f"sa{i + 1}"] = c
         xs_n = spec.npoint
         cin = spec.mlp[-1] + 3
-    # FP stack (reverse)
+    # FP stack — mirrors the backbone exactly (models/rpointnet.py:142):
+    # fp_mlps[0] runs FIRST at the DEEPEST target level (sa[nsa-1]'s
+    # points, source = sa[nsa]'s); fp_mlps[-1] runs last at the N-point
+    # level. Source channels chain: sa-last output, then each FP's
+    # mlp[-1]; skip channels are the target level's SA output.
+    nsa = len(r.sa_layers)
     lvl_n = [n] + [sp.npoint for sp in r.sa_layers]
     lvl_c = [3 + fdim] + [sp.mlp[-1] for sp in r.sa_layers]
-    for i, mlp in enumerate(reversed(r.fp_mlps)):
-        tgt, src = lvl_n[-2 - i], lvl_n[-1 - i]
-        src_c = lvl_c[-1 - i] if i == 0 else tuple(reversed(r.fp_mlps))[i - 1][-1]
+    src_c = lvl_c[-1]
+    for i, mlp in enumerate(r.fp_mlps):
+        lvl = nsa - 1 - i  # target level (matches the model's fp{i+1})
+        tgt, src = lvl_n[lvl], lvl_n[lvl + 1]
         c = three_nn_cost(b, tgt, src)
         c = c + interpolate_mm_cost(b, tgt, src, src_c)
-        c = c + mlp_cost(b * tgt, src_c + lvl_c[-2 - i], mlp)
-        stages[f"fp{len(r.fp_mlps) - i}"] = c
+        c = c + mlp_cost(b * tgt, src_c + lvl_c[lvl], mlp)
+        stages[f"fp{i + 1}"] = c
+        src_c = mlp[-1]
 
-    # RoI align + heads + mask projection
-    feat_c = r.fp_mlps[0][-1]
+    # RoI align + heads + mask projection (per-point features = the LAST
+    # FP's output width)
+    feat_c = r.fp_mlps[-1][-1]
     rois = s
     c = gather_cost(b * rois * r.roi_samples, feat_c + 3)
     c = c + mlp_cost(b * rois * r.roi_samples, feat_c + 3, r.roi_mlp)
@@ -351,10 +359,11 @@ def train_step_cost(cfg, b: int, n: int, gt_size: int = 256,
             params += _mlp_params(cin, spec.mlp)
             cin = spec.mlp[-1] + 3
         lvl_c = [3 + fdim] + [sp.mlp[-1] for sp in r.sa_layers]
-        for i, mlp in enumerate(reversed(r.fp_mlps)):
-            src_c = lvl_c[-1 - i] if i == 0 else tuple(reversed(r.fp_mlps))[i - 1][-1]
-            params += _mlp_params(src_c + lvl_c[-2 - i], mlp)
-        params += _mlp_params(r.fp_mlps[0][-1] + 3, r.roi_mlp)
+        src_c = lvl_c[-1]
+        for i, mlp in enumerate(r.fp_mlps):
+            params += _mlp_params(src_c + lvl_c[len(r.sa_layers) - 1 - i], mlp)
+            src_c = mlp[-1]
+        params += _mlp_params(r.fp_mlps[-1][-1] + 3, r.roi_mlp)
         pooled = r.roi_mlp[-1]
         params += _mlp_params(pooled, r.cls_fc + (r.num_classes + 1,))
         params += _mlp_params(pooled, r.box_fc + (6,))

@@ -1,6 +1,8 @@
-"""On-chip knob sweep for the fused ball-group kernel: query-tile height
-(_TM), chunk width (_NC), extraction unroll (_UNROLL), at the pipeline's
-two hot shapes (backbone sa1 and GSPN context crops).
+"""On-chip knob sweep for the fused ball-group kernel: chunk width
+(_NC), window width (_NW) and extraction unroll (_UNROLL), at the
+pipeline's two hot shapes (backbone sa1 and GSPN context crops).
+(Query-tile height _TM was swept separately and measured a loser at
+every height above 128 — see STATUS.md sweep table; it is pinned.)
 
     python scripts/sweep_ballgroup.py [--iters 20]
 
@@ -86,10 +88,11 @@ def main():
     ball_group._NC, ball_group._NW, ball_group._UNROLL = base
 
     for name in shapes:
-        best = min(
-            (r for r in results if isinstance(r[name], float)),
-            key=lambda r: r[name],
-        )
+        ok = [r for r in results if isinstance(r[name], float)]
+        if not ok:
+            print(f"BEST {name}: every combo failed", flush=True)
+            continue
+        best = min(ok, key=lambda r: r[name])
         print(
             f"BEST {name}: nc={best['nc']} nw={best['nw']} "
             f"unroll={best['unroll']} -> {best[name]:.3f} ms",

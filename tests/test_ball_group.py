@@ -82,8 +82,29 @@ def test_fused_empty_and_saturated_rows(rng):
     np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
 
 
+def test_fused_multi_chunk_and_sorted_queries(rng):
+    """Regression (r3 review): with _NC=4096, n must exceed one chunk to
+    exercise the chunk while_loop / early exit / AABB pruning off-chip,
+    and m must exceed one 128-row tile to exercise the _SORT_Q
+    query-sort + un-permute path. n=4600 -> 2 chunks; m=160 -> 2 tiles
+    with Morton-reordered rows."""
+    b, n, m, k = 1, 4600, 160, 8
+    xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    xyz2 = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
+    (idx, cnt, grouped), = query_ball_group_multi(
+        (0.25,), (k,), xyz1, xyz2, impl="pallas"
+    )
+    oidx, ocnt = ball_query_oracle(
+        0.25, k, np.asarray(xyz1), np.asarray(xyz2), None
+    )
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+    want = ops.group_point(xyz1, idx) - xyz2[:, :, None, :]
+    np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
+
+
 def test_fused_crosses_chunk_boundaries(rng):
-    """Hits spanning multiple NC=512 chunks keep global ascending order."""
+    """Hits spanning multiple NW windows keep global ascending order."""
     b, n, m, k = 1, 1500, 6, 24
     xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
     xyz2 = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))

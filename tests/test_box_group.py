@@ -98,10 +98,25 @@ def test_box_group_edge_rows(rng, impl):
 
 
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_box_group_multi_chunk(rng, impl):
+    """Regression (r3 review): n=4600 > _NC=4096 actually straddles TWO
+    chunks, exercising the chunk while_loop, cross-chunk early exit and
+    _relevant_chunks_box pruning/ordering off-chip (n=1500 fit in one)."""
+    b, n, r, s = 1, 4600, 8, 12
+    xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    c = rng.uniform(-0.8, 0.8, (b, r, 3)).astype(np.float32)
+    e = np.full((b, r, 3), 0.3, np.float32)
+    boxes = jnp.asarray(np.concatenate([c - e, c + e], axis=-1))
+    idx, cnt, _ = query_box_group(boxes, s, xyz1, impl=impl)
+    oidx, ocnt = box_group_oracle(np.asarray(boxes), s, np.asarray(xyz1))
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
 def test_box_group_chunk_boundaries(rng, impl):
-    """Hits straddling the NC/NW chunk and window boundaries extract in
-    global ascending order (n > one chunk forces the multi-chunk path in
-    interpret mode via small n but padded windows)."""
+    """Hits straddling the NW window boundaries extract in global
+    ascending order."""
     b, n, r, s = 1, 1500, 12, 24
     xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
     c = rng.uniform(-0.8, 0.8, (b, r, 3)).astype(np.float32)

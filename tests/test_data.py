@@ -87,6 +87,10 @@ def test_scannet_crops_fixed_shapes(tmp_path, rng):
     # instance ids compacted: contiguous from 1
     ids = np.unique(batch["inst_label"][batch["inst_label"] > 0])
     assert list(ids) == list(range(1, len(ids) + 1))
+    # real scene ids ride along for the official submission export
+    stems = {p.stem for p in ds.paths}
+    assert len(batch["scene_ids"]) == 3
+    assert all(s in stems for s in batch["scene_ids"])
 
 
 def test_native_fallback_parity(rng, monkeypatch):

@@ -34,6 +34,42 @@ def test_mlp_cost_formula():
     assert c.hbm_bytes == 100 * (3 + 16) * 4
 
 
+def test_fp_cost_pairing_matches_model():
+    """Regression (r3 review): the FP cost stages must pair fp_mlps[i]
+    with the level the BACKBONE applies it at — fp_mlps[0] at the
+    deepest target, fp_mlps[-1] at the N-point target with the previous
+    FP's output as source channels (models/rpointnet.py fp loop)."""
+    cfg = scannet_pipeline()
+    r = cfg.rpointnet
+    b, n = 1, 8192
+    stages = rf.pipeline_cost(cfg, b=b, n=n)
+    nsa = len(r.sa_layers)
+    # last FP (fp4): target = N points, source = sa1's npoint points,
+    # source channels = fp3's output, skip = raw (3 + fdim)
+    tgt, src = n, r.sa_layers[0].npoint
+    src_c = r.fp_mlps[-2][-1]
+    expect = (
+        rf.three_nn_cost(b, tgt, src)
+        + rf.interpolate_mm_cost(b, tgt, src, src_c)
+        + rf.mlp_cost(b * tgt, src_c + 3, r.fp_mlps[-1])
+    )
+    got = stages[f"fp{len(r.fp_mlps)}"]
+    assert np.isclose(got.mxu_flops, expect.mxu_flops)
+    assert np.isclose(got.vpu_ops, expect.vpu_ops)
+    # first FP (fp1): deepest target, source channels = sa-last output
+    tgt1, src1 = r.sa_layers[nsa - 2].npoint, r.sa_layers[nsa - 1].npoint
+    expect1 = (
+        rf.three_nn_cost(b, tgt1, src1)
+        + rf.interpolate_mm_cost(b, tgt1, src1, r.sa_layers[-1].mlp[-1])
+        + rf.mlp_cost(
+            b * tgt1,
+            r.sa_layers[-1].mlp[-1] + r.sa_layers[nsa - 2].mlp[-1],
+            r.fp_mlps[0],
+        )
+    )
+    assert np.isclose(stages["fp1"].mxu_flops, expect1.mxu_flops)
+
+
 def test_train_step_cost_structure():
     """Both stages: positive, additive, physically sensible, and a train
     step costs MORE than the matching inference slice (backward pass +
