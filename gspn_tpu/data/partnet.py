@@ -85,9 +85,13 @@ class PartNetParts:
             pts = np.concatenate([pts, pts[:, reps]], axis=1)
             sem = np.concatenate([sem, sem[:, reps]], axis=1)
             ins = np.concatenate([ins, ins[:, reps]], axis=1)
-        # normalize ids: instances 1..K (0 = unassigned), semantics >= 0
+        # normalize ids: instances 1..K (0 = unassigned), semantics 1..C
+        # (PartNet ins_seg labels are 0-BASED part classes with -1 =
+        # unlabeled; the eval protocol treats sem<=0 as void, so class 0
+        # must shift to 1 like instances do — otherwise its GT can never
+        # be matched and its AP pins at 0)
         ins = np.where(ins >= 0, ins + 1, 0).astype(np.int32)
-        sem = np.maximum(sem, 0).astype(np.int32)
+        sem = np.where(sem >= 0, sem + 1, 0).astype(np.int32)
         b, npts = pts.shape[0], pts.shape[1]
         return {
             "xyz": pts.astype(np.float32),

@@ -93,6 +93,8 @@ def parse_args(argv=None):
                         "above-threshold prediction, max-confidence one "
                         "is the TP)")
     args = p.parse_args(argv)
+    if args.scannet_dir and args.partnet_dir:
+        p.error("--scannet-dir and --partnet-dir are mutually exclusive")
     if args.artifact and args.point_sharded:
         p.error("--artifact and --point-sharded are mutually exclusive "
                 "(the artifact is a fixed single-program export)")
@@ -111,9 +113,12 @@ def parse_args(argv=None):
     return args
 
 
-def _check_ckpt_feature_dim(ckpt_dir: str, name: str, fdim: int):
-    """The trainers save config.json beside the ckpt dir; a feature_dim
-    mismatch would otherwise surface as an opaque Orbax shape error."""
+def _check_ckpt_feature_dim(ckpt_dir: str, name: str, fdim: int, cfg=None):
+    """The trainers save the (post-scaling) model config.json beside the
+    ckpt dir; a feature_dim or width mismatch would otherwise surface as
+    an opaque Orbax shape error. ``cfg``: the stage config about to be
+    restored into — width-signature fields are compared against the
+    saved ones (catches a missing/mismatched ``--width-mult``)."""
     cfg_path = pathlib.Path(ckpt_dir).parent / "config.json"
     if not cfg_path.exists():
         return
@@ -129,6 +134,23 @@ def _check_ckpt_feature_dim(ckpt_dir: str, name: str, fdim: int):
             "point --scannet-dir (or the synthetic source) at data matching "
             "the training features"
         )
+    if cfg is None:
+        return
+    for key in ("encoder_mlp", "cond_dim", "roi_mlp", "fp_mlps"):
+        saved_v = saved.get(key)
+        cur = getattr(cfg, key, None)
+        if saved_v is None or cur is None:
+            continue
+        norm = json.loads(json.dumps(cur if isinstance(cur, int) else list(
+            list(x) if isinstance(x, (list, tuple)) else x for x in cur
+        )))
+        if norm != saved_v:
+            raise ValueError(
+                f"{name} checkpoint {ckpt_dir} was trained with {key}="
+                f"{saved_v} but the eval config has {norm} — pass the "
+                "same --width-mult/--preset the checkpoint was trained "
+                "with"
+            )
 
 
 def main(argv=None):
@@ -157,13 +179,9 @@ def main(argv=None):
 
         cfg = scale_pipeline_widths(cfg, args.width_mult)
     if args.dtype == "bf16":
-        import dataclasses
+        from gspn_tpu.models.presets import set_pipeline_dtype
 
-        cfg = dataclasses.replace(
-            cfg,
-            gspn=dataclasses.replace(cfg.gspn, dtype=jnp.bfloat16),
-            rpointnet=dataclasses.replace(cfg.rpointnet, dtype=jnp.bfloat16),
-        )
+        cfg = set_pipeline_dtype(cfg, jnp.bfloat16)
     key = jax.random.PRNGKey(args.seed)
 
     # data source — each batches() call creates its own rng so probing
@@ -214,7 +232,10 @@ def main(argv=None):
     variables = init_pipeline_variables(cfg, key, n, feature_dim=fdim)
     for name, ckpt in (("gspn", args.gspn_ckpt), ("rpointnet", args.rpointnet_ckpt)):
         if ckpt:
-            _check_ckpt_feature_dim(ckpt, name, fdim)
+            _check_ckpt_feature_dim(
+                ckpt, name, fdim,
+                cfg=cfg.gspn if name == "gspn" else cfg.rpointnet,
+            )
             variables[name] = restore_variable_collections(
                 ckpt, variables[name]
             )
@@ -274,6 +295,7 @@ def main(argv=None):
         dump_dir.mkdir(parents=True, exist_ok=True)
 
     scene_i = 0
+    dumped: dict[str, int] = {}
     for batch in batches():
         jb = {
             k: jnp.asarray(v) for k, v in batch.items() if k != "scene_ids"
@@ -296,6 +318,13 @@ def main(argv=None):
                 scene_id = batch.get("scene_ids", [None] * (bi + 1))[bi] or (
                     f"scene_{scene_i:05d}"
                 )
+                # scenes are sampled WITH replacement: suffix repeat
+                # draws so later crops of the same scene don't silently
+                # overwrite earlier dumps
+                seen = dumped.get(scene_id, 0)
+                dumped[scene_id] = seen + 1
+                if seen:
+                    scene_id = f"{scene_id}__crop{seen}"
                 if args.dump_format == "scannet":
                     from gspn_tpu.eval.scannet_export import (
                         write_scannet_submission,

@@ -72,6 +72,18 @@ def scale_pipeline_widths(cfg: PipelineConfig, mult: int) -> PipelineConfig:
     )
 
 
+def set_pipeline_dtype(cfg: PipelineConfig, dtype: Any) -> PipelineConfig:
+    """Switch both stages' MLP/head compute dtype (params stay f32;
+    point-op kernels always run f32 — see module docstring)."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        gspn=dataclasses.replace(cfg.gspn, dtype=dtype),
+        rpointnet=dataclasses.replace(cfg.rpointnet, dtype=dtype),
+    )
+
+
 def scannet_pipeline(
     num_seeds: int = 64,
     num_classes: int = 18,

@@ -243,26 +243,28 @@ def main(argv=None):
         f"{args.log_dir}/trace", start_step + 1,
         getattr(args, "profile_steps", 0),
     )
-    with contextlib.closing(feed):
-        for i, batch in feed:
-            tracer.tick(i)
-            batch = dict(batch)
-            k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
-            if not args.no_augment:
-                batch["xyz"] = augment_scene(k_aug, batch["xyz"], batch["valid"])
-            state, metrics = step_fn(state, batch, k_step)
-            if (i + 1) % args.log_every == 0 or i == start_step:
-                m = {k: float(v) for k, v in metrics.items()}
-                logger.log(int(state.step), m)
-                print(format_metrics(int(state.step), m))
-            if args.eval_every and (i + 1) % args.eval_every == 0:
-                vm = val_fn(state, val_batch, jax.random.PRNGKey(args.seed + 1))
-                vm = {f"val_{k}": float(v) for k, v in vm.items()}
-                logger.log(int(state.step), vm)
-                print(format_metrics(int(state.step), vm))
-            if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
-                ckpt.save(int(state.step), state)
-    tracer.close()
+    try:
+        with contextlib.closing(feed):
+            for i, batch in feed:
+                tracer.tick(i)
+                batch = dict(batch)
+                k_aug, k_step = jax.random.split(jax.random.fold_in(key, i))
+                if not args.no_augment:
+                    batch["xyz"] = augment_scene(k_aug, batch["xyz"], batch["valid"])
+                state, metrics = step_fn(state, batch, k_step)
+                if (i + 1) % args.log_every == 0 or i == start_step:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    logger.log(int(state.step), m)
+                    print(format_metrics(int(state.step), m))
+                if args.eval_every and (i + 1) % args.eval_every == 0:
+                    vm = val_fn(state, val_batch, jax.random.PRNGKey(args.seed + 1))
+                    vm = {f"val_{k}": float(v) for k, v in vm.items()}
+                    logger.log(int(state.step), vm)
+                    print(format_metrics(int(state.step), vm))
+                if (i + 1) % args.ckpt_every == 0 or i + 1 == args.steps:
+                    ckpt.save(int(state.step), state)
+    finally:
+        tracer.close()
     ckpt.close()
     logger.close()
     return state

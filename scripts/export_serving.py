@@ -98,11 +98,9 @@ def main(argv=None):
 
         cfg = scale_pipeline_widths(cfg, args.width_mult)
     if args.dtype == "bf16":
-        cfg = dataclasses.replace(
-            cfg,
-            gspn=dataclasses.replace(cfg.gspn, dtype=jnp.bfloat16),
-            rpointnet=dataclasses.replace(cfg.rpointnet, dtype=jnp.bfloat16),
-        )
+        from gspn_tpu.models.presets import set_pipeline_dtype
+
+        cfg = set_pipeline_dtype(cfg, jnp.bfloat16)
 
     variables = init_pipeline_variables(
         cfg, jax.random.PRNGKey(0), args.num_points,
@@ -113,7 +111,10 @@ def main(argv=None):
     for name, ckpt in (("gspn", args.gspn_ckpt),
                        ("rpointnet", args.rpointnet_ckpt)):
         if ckpt:
-            _check_ckpt_feature_dim(ckpt, name, args.feature_dim)
+            _check_ckpt_feature_dim(
+                ckpt, name, args.feature_dim,
+                cfg=cfg.gspn if name == "gspn" else cfg.rpointnet,
+            )
             variables[name] = restore_variable_collections(
                 ckpt, variables[name]
             )

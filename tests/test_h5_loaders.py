@@ -68,5 +68,9 @@ def test_partnet_loader(tmp_path, rng):
     batch = ds.sample_batch(rng, 3)
     assert batch["xyz"].shape == (3, 48, 3)
     assert batch["inst_label"].min() >= 0  # -1 remapped to 0
+    # 0-based part classes shift to 1..C (0 = void for the eval protocol):
+    # labeled points are >= 1; source label 4 (max of 0..4) becomes 5
     assert batch["sem_label"].min() >= 0
+    assert batch["sem_label"].max() <= 6
+    assert (batch["sem_label"][batch["inst_label"] > 0] >= 1).all()
     assert batch["valid"].all()
