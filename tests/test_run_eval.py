@@ -70,6 +70,50 @@ def test_run_eval_from_artifact_matches_live(tmp_path):
     assert served["ap_25"] == live["ap_25"]
 
 
+def test_run_eval_scannet_dump_real_ids_and_collisions(tmp_path):
+    """ScanNet-source eval dumps under the REAL scene id (official
+    evaluator matches by id), and repeat draws of the same scene get a
+    __cropN suffix instead of overwriting (sampling is with
+    replacement; with one scene on disk every draw collides)."""
+    from tests.test_data import _write_scannet_scene
+    from gspn_tpu.data.scannet import preprocess_to_npz
+
+    rng = np.random.default_rng(0)
+    scan, *_ = _write_scannet_scene(tmp_path, rng)
+    preprocess_to_npz(scan, tmp_path / "npz")
+    run_eval.main([
+        "--num-scenes", "3", "--batch", "1", "--num-points", "128",
+        "--num-seeds", "8", "--num-classes", "3", "--preset", "tiny",
+        "--scannet-dir", str(tmp_path / "npz"),
+        "--dump-dir", str(tmp_path / "preds"),
+    ])
+    names = sorted(p.stem for p in (tmp_path / "preds").glob("*.npz"))
+    assert len(names) == 3  # nothing overwritten
+    assert "__crop" not in names[0]  # first draw keeps the real id
+    assert names[1].endswith("__crop1") and names[2].endswith("__crop2")
+
+
+def test_run_eval_width_mismatch_is_friendly_error(tmp_path):
+    """Restoring a width-scaled checkpoint without --width-mult raises
+    the clear config-mismatch error, not an Orbax shape error."""
+    import pytest
+
+    from gspn_tpu.train import train_gspn
+
+    train_gspn.main([
+        "--steps", "1", "--batch", "2", "--num-points", "128",
+        "--num-seeds", "8", "--gt-size", "16", "--preset", "tiny",
+        "--log-every", "100", "--ckpt-every", "1", "--width-mult", "2",
+        "--log-dir", str(tmp_path / "w2"),
+    ])
+    with pytest.raises(ValueError, match="width-mult"):
+        run_eval.main([
+            "--num-scenes", "2", "--batch", "2", "--num-points", "128",
+            "--num-seeds", "8", "--num-classes", "3", "--preset", "tiny",
+            "--gspn-ckpt", str(tmp_path / "w2" / "ckpt"),
+        ])
+
+
 def test_run_eval_partnet_source(tmp_path):
     """--partnet-dir drives the eval from PartNet h5 part-instance data
     (BASELINE config 5 workload)."""
