@@ -51,7 +51,10 @@ def parse_args(argv=None):
     p.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
     p.add_argument("--score-thresh", type=float, default=0.05)
     p.add_argument("--platform", type=str, default=None,
-                   help="export platform (tpu|cpu; default: current)")
+                   help="export platform(s), comma-separated (e.g. tpu "
+                        "or cpu,tpu for a dual-platform artifact; "
+                        "default: current). Dual-platform exports need "
+                        "op impls that legalize on BOTH (ops_impl=xla)")
     p.add_argument("--verify", action="store_true",
                    help="check artifact == live pipeline on random data")
     return p.parse_args(argv)
@@ -120,7 +123,10 @@ def main(argv=None):
             )
             print(f"restored {name} from {ckpt}")
 
-    platforms = (args.platform,) if args.platform else None
+    platforms = (
+        tuple(p.strip() for p in args.platform.split(",") if p.strip())
+        if args.platform else None
+    )
     exported = export_inference(
         cfg, variables, args.num_points, batch_size=args.batch,
         feature_dim=args.feature_dim, platforms=platforms,

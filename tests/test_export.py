@@ -92,6 +92,27 @@ def test_export_feature_dim_signature(rng, tmp_path):
     np.testing.assert_array_equal(np.asarray(preds.masks), np.asarray(live.masks))
 
 
+def test_export_platform_check_and_dual_platform(rng):
+    """A 'tpu'-only artifact cross-exported from a CPU host refuses to
+    run on cpu (the platform check README advertises); a ('cpu','tpu')
+    dual artifact runs on cpu."""
+    variables = init_pipeline_variables(TINY, jax.random.PRNGKey(0), N)
+    xyz = jnp.zeros((1, N, 3), jnp.float32)
+    valid = jnp.ones((1, N), bool)
+    key = jax.random.PRNGKey(0)
+
+    e_tpu = export_inference(TINY, variables, N, batch_size=1,
+                             platforms=("tpu",))
+    assert e_tpu.platforms == ("tpu",)
+    with pytest.raises(ValueError, match="exported for platforms"):
+        e_tpu.call(variables, xyz, valid, key)
+
+    e_both = export_inference(TINY, variables, N, batch_size=1,
+                              platforms=("cpu", "tpu"))
+    out = e_both.call(variables, xyz, valid, key)
+    assert out.masks.shape == (1, TINY.num_seeds, N)
+
+
 def test_export_rejects_pallas_for_cpu():
     cfg = dataclasses.replace(
         TINY, gspn=dataclasses.replace(TINY.gspn, ops_impl="pallas")
