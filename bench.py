@@ -100,6 +100,11 @@ def _host_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    ap.add_argument("--fps-segments", type=int, default=1,
+                    help=">1: bench the segmented parallel-chain FPS "
+                         "approximation (documented seed-level parity "
+                         "delta, ops/fps.py). Both sides of vs_baseline "
+                         "use it, so the ratio stays like-for-like.")
     args = ap.parse_args()
 
     done = _install_tpu_watchdog()
@@ -124,6 +129,10 @@ def main():
             gspn=dataclasses.replace(cfg.gspn, dtype=jnp.bfloat16),
             rpointnet=dataclasses.replace(cfg.rpointnet, dtype=jnp.bfloat16),
         )
+    if args.fps_segments != 1:
+        from gspn_tpu.models.presets import set_pipeline_fps_segments
+
+        cfg = set_pipeline_fps_segments(cfg, args.fps_segments)
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(rng, B, n_points=N, max_instances=8)
     xyz = jnp.asarray(batch["xyz"])
@@ -146,7 +155,12 @@ def main():
 
     @jax.jit
     def stage_seeds(xyz, valid):
-        return ops.farthest_point_sample(cfg.num_seeds, xyz, valid)
+        return ops.farthest_point_sample(
+            cfg.num_seeds, xyz, valid,
+            segments=ops.eligible_fps_segments(
+                cfg.gspn.fps_segments, cfg.num_seeds, N
+            ),
+        )
 
     @jax.jit
     def stage_gspn(gvars, xyz, seed_idx, valid, key):
@@ -215,6 +229,8 @@ def main():
     metric = "instance_seg_inference_points_per_sec_per_chip"
     if args.dtype != "f32":
         metric += f"_{args.dtype}"
+    if args.fps_segments != 1:
+        metric += f"_segfps{args.fps_segments}"
     print(
         json.dumps(
             {

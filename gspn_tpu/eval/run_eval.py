@@ -76,6 +76,11 @@ def parse_args(argv=None):
                         "checkpoints were trained with")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
                    help="MLP/head compute dtype for inference")
+    p.add_argument("--fps-segments", type=int, default=1,
+                   help=">1: segmented parallel-chain FPS approximation "
+                        "(seed-level parity delta, ops/fps.py) — only "
+                        "proposal/centroid placement changes; checkpoints "
+                        "restore unchanged")
     p.add_argument("--box-percentile", type=float, default=0.0,
                    help=">0: outlier-trimmed proposal box extents")
     p.add_argument("--score-thresh", type=float, default=0.05)
@@ -182,6 +187,10 @@ def main(argv=None):
         from gspn_tpu.models.presets import set_pipeline_dtype
 
         cfg = set_pipeline_dtype(cfg, jnp.bfloat16)
+    if args.fps_segments != 1:
+        from gspn_tpu.models.presets import set_pipeline_fps_segments
+
+        cfg = set_pipeline_fps_segments(cfg, args.fps_segments)
     key = jax.random.PRNGKey(args.seed)
 
     # data source — each batches() call creates its own rng so probing

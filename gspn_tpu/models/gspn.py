@@ -62,6 +62,11 @@ class GSPNConfig:
     # point/seed-sharded trainer, parallel/train_points.py; None = local)
     bn_axis: str | tuple[str, ...] | None = None
     ops_impl: str = "auto"
+    # >1: segmented FPS approximation for SEED sampling where eligible
+    # (the GSPN model itself never runs FPS — trainers and the fused
+    # pipeline read this when drawing proposal seeds; see
+    # ops.eligible_fps_segments and pipeline.shared_fps_indices)
+    fps_segments: int = 1
     dtype: Any = jnp.float32
 
 

@@ -98,18 +98,32 @@ def shared_fps_indices(cfg: PipelineConfig, xyz, valid):
     SA layer — but only when both stages use the same impl (backends may
     diverge by one-ULP tie flips; training-time sa1 samples with
     rpointnet.ops_impl, so a shared pass from a different impl would skew
-    inference vs training). Used by the fused pipeline and the
-    spatially-sharded variant, which must stay bit-identical."""
+    inference vs training) and the same ``fps_segments`` (a segmented
+    pass is prefix-consistent only at multiples of the segment count —
+    ops.shared_eligible_fps_segments enforces eligibility for BOTH
+    consumer lengths, falling back to exact). Used by the fused pipeline
+    and the spatially-sharded variant, which must stay bit-identical."""
     sa1_n = cfg.rpointnet.sa_layers[0].npoint
-    if cfg.gspn.ops_impl == cfg.rpointnet.ops_impl:
+    n = xyz.shape[1]
+    if (
+        cfg.gspn.ops_impl == cfg.rpointnet.ops_impl
+        and cfg.gspn.fps_segments == cfg.rpointnet.fps_segments
+    ):
+        segs = ops.shared_eligible_fps_segments(
+            cfg.gspn.fps_segments, (cfg.num_seeds, sa1_n), n
+        )
         fps_all = ops.farthest_point_sample(
-            max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl
+            max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl,
+            segments=segs,
         )
         return fps_all[:, : cfg.num_seeds], fps_all[:, :sa1_n]
     seed_idx = ops.farthest_point_sample(
-        cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl
+        cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl,
+        segments=ops.eligible_fps_segments(
+            cfg.gspn.fps_segments, cfg.num_seeds, n
+        ),
     )
-    return seed_idx, None  # backbone samples with its own impl
+    return seed_idx, None  # backbone samples with its own impl/segments
 
 
 def make_inference_fn(cfg: PipelineConfig):

@@ -93,6 +93,11 @@ class RPointNetConfig:
     remat: bool = False  # rematerialize SA/FP activations (trade FLOPs for
     #                      HBM — lets much larger scenes fit in training)
     ops_impl: str = "auto"
+    # >1: segmented parallel-chain FPS approximation in SA layers where
+    # eligible (ops.eligible_fps_segments) — cuts the sequential greedy
+    # chain S-fold at a documented seed-level parity delta. Pair with the
+    # Morton data layout (--morton) for near-exact coverage.
+    fps_segments: int = 1
     dtype: Any = jnp.float32
 
 
@@ -132,6 +137,7 @@ class Backbone(nn.Module):
                 use_bn=cfg.use_bn,
                 bn_axis=cfg.bn_axis,
                 ops_impl=cfg.ops_impl,
+                fps_segments=cfg.fps_segments,
                 dtype=cfg.dtype,
                 name=f"sa{i + 1}",
             )(xs[-1], fs[-1], vs[-1], train, sa1_fps_idx if i == 0 else None)

@@ -36,6 +36,7 @@ def sample_and_group(
     use_xyz: bool = True,
     impl: str = "auto",
     fps_idx=None,
+    fps_segments: int = 1,
 ):
     """FPS -> gather -> ball query (or kNN) -> group -> center local coords.
 
@@ -43,11 +44,22 @@ def sample_and_group(
     is prefix-consistent, so one fps(max_n) call can serve several
     consumers via slicing — see ``models/pipeline.py``).
 
+    ``fps_segments``: >1 enables the segmented parallel-chain FPS
+    approximation where eligible (``ops.eligible_fps_segments`` — the
+    configured value must divide npoint and N with >= 8 picks per chain,
+    else the layer stays exact). Documented seed-level parity delta,
+    SURVEY.md §7 hard-part #1.
+
     Returns (new_xyz (B,P,3), new_points (B,P,K,C'), idx (B,P,K),
     grouped_xyz (B,P,K,3) local frame, pts_cnt (B,P)).
     """
     if fps_idx is None:
-        fps_idx = ops.farthest_point_sample(npoint, xyz, valid, impl=impl)
+        fps_idx = ops.farthest_point_sample(
+            npoint, xyz, valid, impl=impl,
+            segments=ops.eligible_fps_segments(
+                fps_segments, npoint, xyz.shape[1]
+            ),
+        )
     new_xyz = ops.gather_point(xyz, fps_idx)
     if use_knn:
         _, idx = ops.knn_point(nsample, xyz, new_xyz, valid)
@@ -103,6 +115,7 @@ class PointNetSAModule(nn.Module):
     use_bn: bool = True
     bn_axis: str | tuple[str, ...] | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
+    fps_segments: int = 1  # >1: segmented FPS approximation where eligible
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -133,6 +146,7 @@ class PointNetSAModule(nn.Module):
                 self.use_xyz,
                 self.ops_impl,
                 fps_idx,
+                self.fps_segments,
             )
             # Parity note: groups are self-padded by replicate-first, so no
             # group mask is needed for "max" (the reference relies on this).
@@ -192,11 +206,17 @@ class PointNetSAModuleMSG(nn.Module):
     use_bn: bool = True
     bn_axis: str | tuple[str, ...] | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
+    fps_segments: int = 1  # >1: segmented FPS approximation where eligible
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, xyz, points=None, valid=None, train: bool = False):
-        fps_idx = ops.farthest_point_sample(self.npoint, xyz, valid, impl=self.ops_impl)
+        fps_idx = ops.farthest_point_sample(
+            self.npoint, xyz, valid, impl=self.ops_impl,
+            segments=ops.eligible_fps_segments(
+                self.fps_segments, self.npoint, xyz.shape[1]
+            ),
+        )
         new_xyz = ops.gather_point(xyz, fps_idx)
         outs = []
         any_cnt = None

@@ -10,7 +10,11 @@ from gspn_tpu.ops.ball_query import query_ball_point, query_ball_point_multi
 from gspn_tpu.ops.box_group import query_box_group
 from gspn_tpu.ops.chamfer import chamfer_loss, nn_distance
 from gspn_tpu.ops.common import pairwise_sqdist
-from gspn_tpu.ops.fps import farthest_point_sample
+from gspn_tpu.ops.fps import (
+    eligible_fps_segments,
+    farthest_point_sample,
+    shared_eligible_fps_segments,
+)
 from gspn_tpu.ops.grouping import gather_point, group_point, knn_point
 from gspn_tpu.ops.interpolate import (
     three_interpolate_mm,
@@ -27,7 +31,9 @@ __all__ = [
     "box_iou",
     "box_volume",
     "chamfer_loss",
+    "eligible_fps_segments",
     "farthest_point_sample",
+    "shared_eligible_fps_segments",
     "gather_point",
     "group_point",
     "knn_point",

@@ -213,6 +213,136 @@ def _fps_pallas(xyz: jax.Array, npoint: int, valid: jax.Array | None, interpret:
 
 
 # ---------------------------------------------------------------------------
+# Segmented (parallel-chain) approximation
+# ---------------------------------------------------------------------------
+
+
+def _fps_segmented(
+    npoint: int,
+    xyz: jax.Array,
+    valid: jax.Array | None,
+    segments: int,
+    segment_mode: str,
+    impl: str,
+    interpret: bool | None,
+):
+    """S independent greedy chains over sub-samples of the scene.
+
+    Exact FPS is a length-``npoint`` dependent chain (distance update ->
+    cross-lane argmax -> gather), which on TPU is latency-bound on the
+    chain, not on VPU width (see STATUS.md kernel-sweep findings). This
+    variant runs ``segments`` exact greedy FPS chains in parallel — each
+    over a disjoint subset of the scene — on separate sublane rows of the
+    SAME kernel, cutting the sequential chain length ``S``-fold.
+    SURVEY.md §7 ("hard parts" #1) explicitly sanctions bucketed/
+    hierarchical FPS with documented seed-level parity deltas.
+
+    segment_mode:
+      - "contiguous" (default): segment s = points [s*N/S, (s+1)*N/S).
+        On spatially sorted scenes (``ops.spatial_order`` Morton layout,
+        the ``--morton`` data option) the segments tile the scene into
+        disjoint regions, so the union of per-region FPS sets covers the
+        scene almost as well as exact FPS (measured coverage-radius
+        ratio ~1.1 at sa1 shapes vs ~1.6 for independent random subsets).
+        On arbitrary layouts the segments are arbitrary subsets — still
+        valid, quality equals "strided".
+      - "strided": segment s = points {j*S + s}. Every segment spans the
+        whole scene and padded points at the END of the scene spread
+        evenly across segments — the mask-robust choice for unsorted
+        data with heavy padding.
+
+    Properties (all tested, tests/test_fps_segmented.py):
+      - output columns interleave the chains round-robin, so the greedy
+        prefix-consistency that lets one pass serve both proposal seeds
+        and the backbone's sa1 still holds for prefixes that are
+        multiples of ``segments``;
+      - invalid points are never selected as long as the scene has at
+        least one valid point (all-invalid segments fall back to the
+        scene's first valid index), matching exact FPS's guarantee.
+    """
+    b, n, _ = xyz.shape
+    if n % segments or npoint % segments:
+        raise ValueError(
+            f"fps segments={segments} must divide both N={n} and "
+            f"npoint={npoint}"
+        )
+    if segment_mode not in ("contiguous", "strided"):
+        raise ValueError(
+            f"segment_mode must be contiguous|strided, got {segment_mode}"
+        )
+    m = npoint // segments
+    ns = n // segments
+    if segment_mode == "contiguous":
+        xs = xyz.reshape(b * segments, ns, 3)
+        vs = None if valid is None else valid.reshape(b * segments, ns)
+    else:
+        xs = (
+            xyz.reshape(b, ns, segments, 3)
+            .transpose(0, 2, 1, 3)
+            .reshape(b * segments, ns, 3)
+        )
+        vs = (
+            None
+            if valid is None
+            else valid.reshape(b, ns, segments)
+            .transpose(0, 2, 1)
+            .reshape(b * segments, ns)
+        )
+    idx = farthest_point_sample(
+        m, xs, vs, impl=impl, interpret=interpret
+    )  # (B*S, m) local indices into each segment
+    offs = jnp.arange(segments, dtype=jnp.int32)
+    if segment_mode == "contiguous":
+        gidx = idx.reshape(b, segments, m) + (offs * ns)[None, :, None]
+    else:
+        gidx = idx.reshape(b, segments, m) * segments + offs[None, :, None]
+    if valid is not None:
+        seg_has = vs.reshape(b, segments, ns).any(axis=2)  # (B, S)
+        iota = jnp.arange(n, dtype=jnp.int32)
+        first_valid = jnp.min(
+            jnp.where(valid, iota[None, :], n), axis=1
+        )
+        first_valid = jnp.minimum(first_valid, n - 1).astype(jnp.int32)
+        gidx = jnp.where(
+            seg_has[:, :, None], gidx, first_valid[:, None, None]
+        )
+    # round-robin interleave: column c holds chain c%S's pick c//S
+    return gidx.transpose(0, 2, 1).reshape(b, npoint)
+
+
+def shared_eligible_fps_segments(
+    segments: int, npoints: tuple[int, ...], n: int
+) -> int:
+    """Effective segment count for ONE FPS pass serving several
+    prefix-consumers (prefix lengths ``npoints``, e.g. proposal seeds +
+    backbone sa1). Round-robin interleaving makes a segmented pass
+    prefix-consistent only at multiples of ``segments``, so the value must
+    be eligible for EVERY consumer length — otherwise the whole shared
+    pass falls back to exact (1), keeping all consumers on one consistent
+    sampling path."""
+    for p in npoints:
+        if eligible_fps_segments(segments, p, n) != segments:
+            return 1
+    return segments
+
+
+def eligible_fps_segments(segments: int, npoint: int, n: int) -> int:
+    """The segment count actually used for a (npoint, n)-shaped FPS call
+    when a consumer is configured with ``fps_segments=segments``: the
+    configured value when it divides both sizes and each chain keeps at
+    least 8 picks (shorter chains are already cheap and would only lose
+    coverage), else 1 (exact). Static — shapes are static under jit."""
+    if (
+        segments > 1
+        and npoint % segments == 0
+        and n % segments == 0
+        and npoint >= 8 * segments
+    ):
+        return segments
+    return 1
+
+
+# ---------------------------------------------------------------------------
 # Public API
 # ---------------------------------------------------------------------------
 
@@ -224,6 +354,8 @@ def farthest_point_sample(
     *,
     impl: str = "auto",
     interpret: bool | None = None,
+    segments: int = 1,
+    segment_mode: str = "contiguous",
 ) -> jax.Array:
     """Greedy farthest point sampling.
 
@@ -234,6 +366,17 @@ def farthest_point_sample(
         selected and never influence distances. The reference has no mask —
         pass None for reference-parity semantics.
       impl: ``auto|pallas|xla``.
+      segments: 1 (default) = the reference's exact greedy FPS. >1 = the
+        segmented parallel-chain approximation (see ``_fps_segmented``):
+        ``segments`` exact greedy chains over strided subsets run in
+        parallel, cutting the sequential chain — and so the kernel's
+        latency — ``segments``-fold; the selected SET differs from exact
+        FPS (documented seed-level parity delta, SURVEY.md §7 hard-part
+        #1). Must divide both ``npoint`` and ``N``.
+      segment_mode: how points map to segments when ``segments > 1`` —
+        "contiguous" (default; spatial partition on Morton-sorted scenes)
+        or "strided" (mask-robust on unsorted scenes). See
+        ``_fps_segmented``.
 
     Returns:
       ``(B, npoint) int32`` indices into N. ``out[:, 0]`` is the first valid
@@ -241,6 +384,12 @@ def farthest_point_sample(
     """
     if xyz.ndim != 3 or xyz.shape[-1] != 3:
         raise ValueError(f"xyz must be (B, N, 3), got {xyz.shape}")
+    if segments < 1:
+        raise ValueError(f"segments must be >= 1, got {segments}")
+    if segments > 1:
+        return _fps_segmented(
+            npoint, xyz, valid, segments, segment_mode, impl, interpret
+        )
     choice = resolve_impl(impl)
     if choice == "pallas":
         if interpret is None:

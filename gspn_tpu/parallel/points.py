@@ -128,7 +128,12 @@ def sharded_backbone_body(
     fps_idx = (
         sa1_fps_idx
         if sa1_fps_idx is not None
-        else ops.farthest_point_sample(p1, xyz, valid, impl=cfg.ops_impl)
+        else ops.farthest_point_sample(
+            p1, xyz, valid, impl=cfg.ops_impl,
+            segments=ops.eligible_fps_segments(
+                cfg.fps_segments, p1, xyz.shape[1]
+            ),
+        )
     )
     my_fps = jax.lax.dynamic_slice_in_dim(fps_idx, i * per_q, per_q, axis=1)
     sa1 = _sa_module(cfg, 0)

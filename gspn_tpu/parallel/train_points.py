@@ -200,7 +200,10 @@ def make_point_sharded_gspn_train_step(
             seed_idx = ops.random_prob_sample(seed_rng, weights, num_seeds)
         else:
             seed_idx = ops.farthest_point_sample(
-                num_seeds, xyz, valid, impl=cfg.ops_impl
+                num_seeds, xyz, valid, impl=cfg.ops_impl,
+                segments=ops.eligible_fps_segments(
+                    cfg.fps_segments, num_seeds, xyz.shape[1]
+                ),
             )
         eps = _data_slice(
             jax.random.normal(
@@ -326,7 +329,10 @@ def make_point_sharded_rpointnet_train_step(
             sa1_n = cfg.sa_layers[0].npoint
             # ONE shared FPS pass (prefix consistency), as in steps.py
             fps_all = ops.farthest_point_sample(
-                max(num_seeds, sa1_n), xyz, valid, impl=cfg.ops_impl
+                max(num_seeds, sa1_n), xyz, valid, impl=cfg.ops_impl,
+                segments=ops.shared_eligible_fps_segments(
+                    cfg.fps_segments, (num_seeds, sa1_n), xyz.shape[1]
+                ),
             )
             seed_idx = fps_all[:, :num_seeds]
             sa1_fps_idx = fps_all[:, :sa1_n]

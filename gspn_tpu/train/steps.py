@@ -79,7 +79,10 @@ def make_gspn_loss_fn(
             seed_idx = ops.random_prob_sample(seed_rng, weights, num_seeds)
         else:
             seed_idx = ops.farthest_point_sample(
-                num_seeds, xyz, valid, impl=model.config.ops_impl
+                num_seeds, xyz, valid, impl=model.config.ops_impl,
+                segments=ops.eligible_fps_segments(
+                    model.config.fps_segments, num_seeds, xyz.shape[1]
+                ),
             )
         gt_points, gt_valid, gt_center, is_fg = gather_seed_instances(
             xyz, batch["inst_label"], seed_idx, gt_size
@@ -140,7 +143,13 @@ def make_rpointnet_loss_fn(
     (models/pipeline.py::shared_fps_indices), keeping train and inference
     on the same sampling path. False forces the round-2 behavior of two
     independent (bit-identical) FPS passes; outputs are unchanged either
-    way (tested), only the step cost differs."""
+    way (tested), only the step cost differs. With ``cfg.fps_segments > 1``
+    the bit-identity between the two modes additionally requires the
+    shared eligibility (ops.shared_eligible_fps_segments over both
+    consumer lengths) to equal the backbone's own per-layer eligibility —
+    true for the shipped configs (seeds and sa1 sizes are multiples of
+    the segment count); mixed-eligibility configs should keep
+    share_fps=True."""
     lw = loss_weights or {}
     cfg = model.config
 
@@ -161,13 +170,19 @@ def make_rpointnet_loss_fn(
             sa1_n = cfg.sa_layers[0].npoint
             if share_fps:
                 fps_all = ops.farthest_point_sample(
-                    max(num_seeds, sa1_n), xyz, valid, impl=cfg.ops_impl
+                    max(num_seeds, sa1_n), xyz, valid, impl=cfg.ops_impl,
+                    segments=ops.shared_eligible_fps_segments(
+                        cfg.fps_segments, (num_seeds, sa1_n), xyz.shape[1]
+                    ),
                 )
                 seed_idx = fps_all[:, :num_seeds]
                 sa1_fps_idx = fps_all[:, :sa1_n]
             else:
                 seed_idx = ops.farthest_point_sample(
-                    num_seeds, xyz, valid, impl=cfg.ops_impl
+                    num_seeds, xyz, valid, impl=cfg.ops_impl,
+                    segments=ops.shared_eligible_fps_segments(
+                        cfg.fps_segments, (num_seeds, sa1_n), xyz.shape[1]
+                    ),
                 )
             gout = gmodel.apply(
                 gvars,

@@ -69,6 +69,11 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="capture a jax.profiler device trace of this many "
                         "steps (after one warmup step) under "
                         "{log_dir}/trace — Perfetto/TensorBoard viewable")
+    p.add_argument("--fps-segments", type=int, default=1,
+                   help=">1: segmented parallel-chain FPS approximation "
+                        "(S exact greedy chains over disjoint subsets; "
+                        "documented seed-level parity delta, ops/fps.py) — "
+                        "cuts FPS latency ~S-fold where sizes are eligible")
 
 
 def parse_args(argv=None):
@@ -226,6 +231,8 @@ def main(argv=None):
         cfg = scale_gspn_widths(cfg, args.width_mult)
     if args.dtype == "bf16":
         cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    if args.fps_segments != 1:
+        cfg = dataclasses.replace(cfg, fps_segments=args.fps_segments)
     model = GSPN(cfg)
     tx = optax.adam(build_lr_schedule(args))
     bn_fn = (

@@ -122,6 +122,8 @@ def main(argv=None):
         cfg = scale_rpointnet_widths(cfg, args.width_mult)
     if args.dtype == "bf16":
         cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
+    if args.fps_segments != 1:
+        cfg = dataclasses.replace(cfg, fps_segments=args.fps_segments)
     model = RPointNet(cfg)
     tx = optax.adam(build_lr_schedule(args))
     bn_fn = (
@@ -146,6 +148,8 @@ def main(argv=None):
             gcfg = scale_gspn_widths(gcfg, args.width_mult)
         if args.dtype == "bf16":
             gcfg = dataclasses.replace(gcfg, dtype=jnp.bfloat16)
+        if args.fps_segments != 1:
+            gcfg = dataclasses.replace(gcfg, fps_segments=args.fps_segments)
         gmodel = GSPN(gcfg)
         from gspn_tpu import ops
         from gspn_tpu.data.instances import gather_seed_instances

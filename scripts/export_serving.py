@@ -49,6 +49,9 @@ def parse_args(argv=None):
                    help="MLP width multiplier — must match the "
                         "checkpoints' training value")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
+    p.add_argument("--fps-segments", type=int, default=1,
+                   help=">1: bake the segmented parallel-chain FPS "
+                        "approximation into the artifact (ops/fps.py)")
     p.add_argument("--score-thresh", type=float, default=0.05)
     p.add_argument("--platform", type=str, default=None,
                    help="export platform(s), comma-separated (e.g. tpu "
@@ -104,6 +107,10 @@ def main(argv=None):
         from gspn_tpu.models.presets import set_pipeline_dtype
 
         cfg = set_pipeline_dtype(cfg, jnp.bfloat16)
+    if args.fps_segments != 1:
+        from gspn_tpu.models.presets import set_pipeline_fps_segments
+
+        cfg = set_pipeline_fps_segments(cfg, args.fps_segments)
 
     variables = init_pipeline_variables(
         cfg, jax.random.PRNGKey(0), args.num_points,

@@ -35,6 +35,15 @@ def main():
               f"(first call incl compile {t1-t0:.2f}s)")
         assert same
 
+    # --- segmented FPS (parallel chains, B*S sublane rows): pallas vs xla
+    s_p = ops.farthest_point_sample(
+        m, xyz, valid, impl="pallas", interpret=False, segments=8
+    )
+    s_x = ops.farthest_point_sample(m, xyz, valid, impl="xla", segments=8)
+    same = bool(jnp.all(s_p == s_x))
+    print(f"fps segmented (S=8, {b * 8} chain rows): pallas==xla {same}")
+    assert same
+
     centers = ops.gather_point(xyz, i_p)
 
     # --- ball query: pallas vs xla
