@@ -151,10 +151,20 @@ def _fps_kernel(x_ref, y_ref, z_ref, v_ref, idx_ref, *, npoint: int, n: int):
     idx_ref[:, :] = carry[2]
 
 
+_MAX_ROWS = 32  # rows per grid program at large Npad (measured best)
+_MAX_ROWS_NARROW = 32  # Npad <= 2048 (segmented FPS packs B*S chain rows).
+#   Swept on-chip (scripts/sweep_fps_rows.py): ONE 64-row program LOSES
+#   ~16% to two sequential 32-row programs at (64, 1024) — the per-
+#   iteration dependent chain (distance -> cross-lane argmax) slows with
+#   sublane-row count, unlike with lane count. Kept as a knob; 32 is the
+#   measured optimum in both regimes.
+
+
 def _fps_rows(b: int, npad: int) -> int:
     """Batch rows per grid program: amortize the sequential loop across
     sublanes, capped so the ~6 (ROWS, Npad) f32 live buffers fit in VMEM."""
-    rows = round_up(min(b, 32), 8)
+    cap = _MAX_ROWS_NARROW if npad <= 2048 else _MAX_ROWS
+    rows = round_up(min(b, cap), 8)
     while rows > 8 and rows * npad * 4 * 6 > 12 * 1024 * 1024:
         rows //= 2
     return rows

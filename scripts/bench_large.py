@@ -96,6 +96,19 @@ def main():
         variables, xyz, validj, jax.random.PRNGKey(1), iters=5,
     )
 
+    # segmented-FPS variant (ops/fps.py fps_segments=8): S parallel greedy
+    # chains cut FPS's sequential latency ~8x — the dominant whole-scene
+    # stage (measured 1.36x end-to-end in the interleaved A/B,
+    # scripts/ab_fps_segments.py; documented seed-level parity delta)
+    from gspn_tpu.models.presets import set_pipeline_fps_segments
+
+    infer8 = make_inference_fn(set_pipeline_fps_segments(cfg, 8))
+    dt8 = bench(
+        "FUSED whole-scene inference (fps_segments=8)",
+        lambda v_, x, m, k: infer8(v_, x, None, m, k),
+        variables, xyz, validj, jax.random.PRNGKey(1), iters=5,
+    )
+
     # point-sharded backbone row (parallel/points.py): per-point work and
     # feature maps shard over every local device. On a single chip this
     # measures the sharded path's overhead at n_dev=1 (parity mode); the
@@ -119,6 +132,7 @@ def main():
         "value": round(B * N / dt, 1),
         "unit": "points/sec",
         "n_points": N,
+        "segfps8_value": round(B * N / dt8, 1),
         "rows_ms": rows,
     }))
 
