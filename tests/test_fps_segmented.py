@@ -217,6 +217,21 @@ def test_point_sharded_inference_with_segments():
     _compare(_tiny_segmented_cfg(), 2, 256, np.random.default_rng(7))
 
 
+def test_trainer_cli_fps_segments_smoke(tmp_path):
+    """--fps-segments plumbs through the stage-1 trainer: eligible sizes
+    (seeds=16, segments=2, N=128) actually run the segmented pass."""
+    from gspn_tpu.train import train_gspn
+
+    state = train_gspn.main([
+        "--steps", "2", "--batch", "2", "--num-points", "128",
+        "--num-seeds", "16", "--gt-size", "16", "--preset", "tiny",
+        "--fps-segments", "2",
+        "--log-dir", str(tmp_path / "run"), "--log-every", "1",
+        "--ckpt-every", "100",
+    ])
+    assert int(state.step) == 2
+
+
 def test_eligible_fps_segments_rule():
     assert eligible_fps_segments(8, 1024, 8192) == 8
     assert eligible_fps_segments(8, 256, 1024) == 8
