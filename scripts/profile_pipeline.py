@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--trace", type=str, default=None,
                     help="also capture a jax.profiler trace of the fused run")
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--fps-segments", type=int, default=1,
+                    help=">1: profile with segmented parallel-chain FPS")
     args = ap.parse_args()
 
     from gspn_tpu import ops
@@ -57,6 +59,10 @@ def main():
             gspn=dataclasses.replace(cfg.gspn, dtype=jnp.bfloat16),
             rpointnet=dataclasses.replace(cfg.rpointnet, dtype=jnp.bfloat16),
         )
+    if args.fps_segments != 1:
+        from gspn_tpu.models.presets import set_pipeline_fps_segments
+
+        cfg = set_pipeline_fps_segments(cfg, args.fps_segments)
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(rng, B, n_points=N, max_instances=8)
     xyz = jnp.asarray(batch["xyz"])
@@ -76,7 +82,12 @@ def main():
     # ---- stage 1: seeds
     seed_idx = bench(
         "seeds: fps(64, N=8192)",
-        lambda x, v: ops.farthest_point_sample(cfg.num_seeds, x, v),
+        lambda x, v: ops.farthest_point_sample(
+            cfg.num_seeds, x, v,
+            segments=ops.eligible_fps_segments(
+                cfg.gspn.fps_segments, cfg.num_seeds, N
+            ),
+        ),
         xyz, valid,
     )
 
