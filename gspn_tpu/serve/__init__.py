@@ -15,3 +15,10 @@ from gspn_tpu.serve.export import (  # noqa: F401
     load_artifact,
     save_artifact,
 )
+from gspn_tpu.serve.runtime import (  # noqa: F401
+    Client,
+    InferenceSession,
+    Server,
+    pipeline_config_from_manifest,
+    session_from_checkpoints,
+)

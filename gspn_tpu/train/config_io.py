@@ -35,6 +35,47 @@ def _to_jsonable(obj: Any):
         return str(obj)
 
 
+def config_from_jsonable(obj: Any, registry: dict[str, type], *, _field=None):
+    """Inverse of :func:`_to_jsonable` for dataclass config trees.
+
+    ``registry`` maps the ``__dataclass__`` tag (class ``__name__``) to
+    the dataclass type. Field types are recovered from the dataclass
+    definition: JSON lists become tuples where the field's default is a
+    tuple (the config convention here — every sequence field is a
+    tuple), and a field named ``dtype`` accepts the string produced by
+    ``_to_jsonable`` ("float32", "bfloat16", ...) and resolves it via
+    ``jax.numpy``. Unknown ``__dataclass__`` tags raise, so artifacts
+    from a newer library version fail loudly instead of half-loading.
+    """
+    if isinstance(obj, dict) and "__dataclass__" in obj:
+        tag = obj["__dataclass__"]
+        if tag not in registry:
+            raise ValueError(
+                f"unknown config dataclass {tag!r}; known: "
+                f"{sorted(registry)}"
+            )
+        cls = registry[tag]
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kwargs = {}
+        for k, v in obj.items():
+            if k == "__dataclass__":
+                continue
+            if k not in fields:
+                raise ValueError(f"{tag} has no field {k!r}")
+            kwargs[k] = config_from_jsonable(v, registry, _field=fields[k])
+        return cls(**kwargs)
+    if isinstance(obj, dict):
+        return {k: config_from_jsonable(v, registry) for k, v in obj.items()}
+    if isinstance(obj, list):
+        inner = [config_from_jsonable(x, registry) for x in obj]
+        return tuple(inner)
+    if _field is not None and _field.name == "dtype" and isinstance(obj, str):
+        import jax.numpy as jnp
+
+        return getattr(jnp, obj)
+    return obj
+
+
 def save_config(path: str | pathlib.Path, **configs):
     """Write {name: config} trees as JSON. Accepts dataclasses, dicts,
     argparse Namespaces."""
