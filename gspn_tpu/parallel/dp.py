@@ -1,10 +1,24 @@
 """Data-parallel training over a device mesh (BASELINE.json config 5).
 
-Wraps any stage loss_fn (see ``gspn_tpu.train.steps``) in ``shard_map``:
-batch sharded on the ``data`` axis, params/state replicated, gradients and
-batch-stats ``pmean``-ed over ICI before the optimizer update, so every
-device holds identical state — absent from the single-GPU reference,
-first-class here (SURVEY.md §2.3).
+Wraps a DP-aware stage loss_fn (``gspn_tpu.train.steps`` factories built
+with ``dp_axis=``/``dp_size=``) in ``shard_map``: batch sharded on the
+``data`` axis, params/state/rng replicated, gradients ``pmean``-ed over
+ICI before the optimizer update, so every device holds identical state —
+absent from the single-GPU reference, first-class here (SURVEY.md §2.3).
+
+Exactness contract (same as ``parallel/train_points.py``): the DP step
+computes THE single-device full-batch step, up to float reassociation —
+not a mean of per-shard-normalized steps. The DP-aware loss psums its
+masked-loss normalizers (``axis_name``) and BatchNorm train statistics
+(``bn_axis``) over the axis, and draws rng noise at FULL batch shape from
+the replicated key, sliced per shard — so ragged validity masks across
+shards cannot skew the loss, and a DP run is bit-comparable to a
+single-device run of the same batch (tests/test_parallel_train.py).
+
+Under ``check_vma=False`` autodiff, collective transposes make each
+shard's gradient ``nshards ×`` its local-path share of the global loss's
+gradient; their ``pmean`` is exactly the global gradient (the same
+argument documented at ``train_points._wrap_step``).
 """
 
 from __future__ import annotations
@@ -27,21 +41,39 @@ def make_dp_train_step(
     """loss_fn(params, batch_stats, batch, rng) -> jitted SPMD
     step(state, batch, rng) -> (state, metrics).
 
-    ``batch`` leading dims must be divisible by the mesh size; ``rng`` is a
-    single key, decorrelated per shard with ``fold_in(axis_index)``.
-    ``bn_momentum_fn``: optional dynamic BN-momentum schedule, applied to
-    the pmean-ed batch stats (see ``gspn_tpu.train.schedules``);
-    ``model_bn_momentum`` defaults to the shared ``nn.layers.BN_MOMENTUM``.
+    ``loss_fn`` must be DP-aware for ``axis`` — built with
+    ``make_*_loss_fn(..., dp_axis=axis, dp_size=mesh.shape[axis])`` — so
+    each shard computes the GLOBAL full-batch loss (see module
+    docstring). ``batch`` leading dims must be divisible by the mesh
+    size; ``rng`` is a single key, kept REPLICATED (the loss draws
+    full-batch-shaped noise and slices its shard, bit-matching the
+    single-device step). ``bn_momentum_fn``: optional dynamic BN-momentum
+    schedule, applied to the (cross-shard, identical) batch stats (see
+    ``gspn_tpu.train.schedules``); ``model_bn_momentum`` defaults to the
+    shared ``nn.layers.BN_MOMENTUM``.
     """
     from gspn_tpu.train.schedules import resolve_bn_momentum
+
+    if getattr(loss_fn, "dp_axis", None) != axis:
+        raise ValueError(
+            "make_dp_train_step requires a DP-aware loss_fn computing the "
+            f"GLOBAL loss over axis '{axis}': build it with "
+            f"make_gspn_loss_fn/make_rpointnet_loss_fn(..., "
+            f"dp_axis='{axis}', dp_size=mesh.shape['{axis}']). A custom "
+            "loss_fn that already psums its normalizers/BN stats over the "
+            "axis can opt in with `loss_fn.dp_axis = axis`."
+        )
 
     _model_bn_momentum = resolve_bn_momentum(model_bn_momentum)
 
     def shard_step(state: TrainState, batch, rng):
-        rng = jax.random.fold_in(rng, jax.lax.axis_index(axis))
         (_, (metrics, new_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, batch, rng)
+        # pmean of per-shard partials of the global loss == global grad
+        # (collective-transpose argument, module docstring); metrics and
+        # cross-shard BN stats are identical per shard — pmean is a
+        # replication-safe no-op there.
         grads = jax.lax.pmean(grads, axis)
         new_stats = jax.lax.pmean(new_stats, axis)
         metrics = jax.lax.pmean(metrics, axis)

@@ -4,13 +4,19 @@ loop bodies (SURVEY.md §3.1/§3.2) as pure functions over a TrainState.
 Structure: each stage exposes a ``loss_fn(params, batch_stats, batch, rng)
 -> (loss, (metrics, new_batch_stats))``; :func:`make_train_step` turns any
 such loss_fn into a single-chip jitted update, and
-``gspn_tpu.parallel.dp.make_dp_train_step`` turns the same loss_fn into a
-multi-chip data-parallel update (grad psum over the mesh) — the loss code
-is shared verbatim between the two.
+``gspn_tpu.parallel.dp.make_dp_train_step`` turns the same loss code into a
+multi-chip data-parallel update — build the loss with ``dp_axis=`` /
+``dp_size=`` for that path and it computes the GLOBAL full-batch loss on
+every shard (psum-ed normalizers via the models' ``axis_name`` hooks,
+cross-shard BatchNorm statistics via ``bn_axis``, and full-batch-shaped
+rng draws sliced per shard), so the DP step equals THE single-device
+full-batch step — the same exactness contract
+``parallel/train_points.py`` carries (SURVEY.md §2.3).
 """
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any
 
 import flax.struct
@@ -49,6 +55,22 @@ class TrainState:
 
 
 # ---------------------------------------------------------------------------
+# DP-aware loss plumbing (used by ``parallel/dp.py``)
+# ---------------------------------------------------------------------------
+
+
+def dp_slice(a, dp_axis: str | None, dp_size: int):
+    """This data shard's slice of a full-batch-shaped replicated rng draw
+    (leading dim = local_batch * dp_size). Identity when ``dp_axis`` is
+    None. Shared with ``parallel/train_points.py``'s hybrid meshes."""
+    if dp_axis is None:
+        return a
+    i = jax.lax.axis_index(dp_axis)
+    per = a.shape[0] // dp_size
+    return jax.lax.dynamic_slice_in_dim(a, i * per, per, 0)
+
+
+# ---------------------------------------------------------------------------
 # Stage 1: GSPN CVAE
 # ---------------------------------------------------------------------------
 
@@ -59,6 +81,8 @@ def make_gspn_loss_fn(
     gt_size: int,
     loss_weights: dict | None = None,
     seed_method: str = "fps",
+    dp_axis: str | None = None,
+    dp_size: int = 1,
 ):
     """``batch``: xyz (B,N,3), valid (B,N) bool, inst_label (B,N) i32,
     optional features (B,N,F). Seed sampling, GT pairing, forward and
@@ -66,17 +90,41 @@ def make_gspn_loss_fn(
 
     seed_method: "fps" (deterministic farthest-point coverage, reference
     default) or "random" (uniform over valid points via the prob_sample
-    inverse-CDF op, the reference's randomized alternative)."""
+    inverse-CDF op, the reference's randomized alternative).
+
+    dp_axis/dp_size: build the DP-aware variant for
+    ``parallel.dp.make_dp_train_step`` — scenes shard over the mesh axis
+    ``dp_axis`` (size ``dp_size``) and the per-shard loss is the GLOBAL
+    full-batch loss: normalizers psum over the axis
+    (``gspn_loss(axis_name=...)``), BatchNorm uses cross-shard statistics
+    (model rebuilt with ``bn_axis``), and the z noise / seed uniforms are
+    drawn at FULL batch shape from the replicated rng and sliced per
+    shard, bit-matching the single-device draws. Only traceable inside a
+    ``shard_map`` that binds ``dp_axis``."""
     lw = loss_weights or {}
     if seed_method not in ("fps", "random"):
         raise ValueError(f"seed_method must be fps|random, got {seed_method}")
+    if dp_axis is not None:
+        model = GSPN(dataclasses.replace(model.config, bn_axis=dp_axis))
 
     def loss_fn(params, batch_stats, batch, rng):
         seed_rng, z_rng = jax.random.split(rng)
         xyz, valid = batch["xyz"], batch["valid"]
         if seed_method == "random":
             weights = valid.astype(jnp.float32)
-            seed_idx = ops.random_prob_sample(seed_rng, weights, num_seeds)
+            if dp_axis is None:
+                seed_idx = ops.random_prob_sample(
+                    seed_rng, weights, num_seeds
+                )
+            else:
+                r = jax.random.uniform(
+                    seed_rng,
+                    (xyz.shape[0] * dp_size, num_seeds),
+                    dtype=jnp.float32,
+                )
+                seed_idx = ops.prob_sample(
+                    weights, dp_slice(r, dp_axis, dp_size)
+                )
         else:
             seed_idx = ops.farthest_point_sample(
                 num_seeds, xyz, valid, impl=model.config.ops_impl,
@@ -87,6 +135,15 @@ def make_gspn_loss_fn(
         gt_points, gt_valid, gt_center, is_fg = gather_seed_instances(
             xyz, batch["inst_label"], seed_idx, gt_size
         )
+        if dp_axis is None:
+            z_kwargs = {"z_rng": z_rng}
+        else:
+            eps = jax.random.normal(
+                z_rng,
+                (xyz.shape[0] * dp_size, num_seeds, model.config.latent_dim),
+                jnp.float32,
+            )
+            z_kwargs = {"z_eps": dp_slice(eps, dp_axis, dp_size)}
         out, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
             xyz,
@@ -95,9 +152,9 @@ def make_gspn_loss_fn(
             valid=valid,
             gt_points=gt_points,
             gt_valid=gt_valid,
-            z_rng=z_rng,
             train=True,
             mutable=["batch_stats"],
+            **z_kwargs,
         )
         total, metrics = gspn_loss(
             out,
@@ -106,10 +163,12 @@ def make_gspn_loss_fn(
             gt_center,
             is_fg,
             impl=model.config.ops_impl,
+            axis_name=dp_axis,
             **lw,
         )
         return total, (metrics, mutated["batch_stats"])
 
+    loss_fn.dp_axis = dp_axis
     return loss_fn
 
 
@@ -126,6 +185,8 @@ def make_rpointnet_loss_fn(
     gt_box_jitter: float = 0.05,
     mix_gt_boxes: bool = True,
     share_fps: bool = True,
+    dp_axis: str | None = None,
+    dp_size: int = 1,
 ):
     """Stage-2 loss. If ``frozen_gspn`` is given, proposal boxes come from
     the frozen stage-1 network inside the same program (reference stage-2
@@ -149,9 +210,31 @@ def make_rpointnet_loss_fn(
     consumer lengths) to equal the backbone's own per-layer eligibility —
     true for the shipped configs (seeds and sa1 sizes are multiples of
     the segment count); mixed-eligibility configs should keep
-    share_fps=True."""
+    share_fps=True.
+
+    dp_axis/dp_size: DP-aware variant for
+    ``parallel.dp.make_dp_train_step`` (global full-batch loss per shard;
+    see ``make_gspn_loss_fn``). Rejects ``head_dropout``/``roi_randomize``
+    — their per-shard draw shapes cannot bit-match the single-device
+    draws (same rule as ``parallel/train_points.py``)."""
     lw = loss_weights or {}
     cfg = model.config
+    if dp_axis is not None:
+        if cfg.head_dropout > 0:
+            raise ValueError(
+                "DP-aware stage-2 loss does not support head_dropout>0 "
+                "(per-shard dropout shapes cannot bit-match the "
+                "single-device full-batch draw); set head_dropout=0"
+            )
+        if cfg.roi_randomize:
+            raise ValueError(
+                "DP-aware stage-2 loss does not support roi_randomize "
+                "(per-shard Gumbel shapes cannot bit-match the "
+                "single-device full-batch draw); use deterministic "
+                "first-S RoI sampling"
+            )
+        cfg = dataclasses.replace(cfg, bn_axis=dp_axis)
+        model = RPointNet(cfg)
 
     def loss_fn(params, batch_stats, batch, rng):
         xyz, valid = batch["xyz"], batch["valid"]
@@ -159,10 +242,14 @@ def make_rpointnet_loss_fn(
             xyz, batch["inst_label"], batch["sem_label"], max_instances
         )
         jitter_rng, drop_rng, roi_rng, rng = jax.random.split(rng, 4)
-        noise = (
-            jax.random.normal(jitter_rng, gt_boxes.shape, jnp.float32)
-            * gt_box_jitter
-        )
+        noise = dp_slice(
+            jax.random.normal(
+                jitter_rng,
+                (gt_boxes.shape[0] * dp_size,) + gt_boxes.shape[1:],
+                jnp.float32,
+            ),
+            dp_axis, dp_size,
+        ) * gt_box_jitter
         gt_rois = jnp.where(present[..., None], gt_boxes + noise, 0.0)
         sa1_fps_idx = None
         if frozen_gspn is not None:
@@ -184,14 +271,24 @@ def make_rpointnet_loss_fn(
                         cfg.fps_segments, (num_seeds, sa1_n), xyz.shape[1]
                     ),
                 )
+            if dp_axis is None:
+                gz_kwargs = {"z_rng": rng}
+            else:
+                geps = jax.random.normal(
+                    rng,
+                    (xyz.shape[0] * dp_size, num_seeds,
+                     gmodel.config.latent_dim),
+                    jnp.float32,
+                )
+                gz_kwargs = {"z_eps": dp_slice(geps, dp_axis, dp_size)}
             gout = gmodel.apply(
                 gvars,
                 jax.lax.stop_gradient(xyz),
                 seed_idx,
                 features=batch.get("features"),
                 valid=valid,
-                z_rng=rng,
                 train=False,
+                **gz_kwargs,
             )
             rois = jax.lax.stop_gradient(
                 proposal_boxes(gout.generated, cfg.box_margin)
@@ -225,9 +322,12 @@ def make_rpointnet_loss_fn(
         match = match_rois(
             rois, roi_valid, gt_boxes, gt_cls, present, cfg.fg_iou, cfg.bg_iou
         )
-        total, metrics = rpointnet_loss(out, match, batch["inst_label"], **lw)
+        total, metrics = rpointnet_loss(
+            out, match, batch["inst_label"], axis_name=dp_axis, **lw
+        )
         return total, (metrics, mutated["batch_stats"])
 
+    loss_fn.dp_axis = dp_axis
     return loss_fn
 
 

@@ -264,13 +264,15 @@ def main(argv=None):
     print(f"GSPN: {n_params / 1e6:.2f}M params, devices={jax.device_count()}, "
           f"feature_dim={fdim}")
 
-    loss_fn = make_gspn_loss_fn(
-        model, args.num_seeds, args.gt_size, {"kl_weight": args.kl_weight}
-    )
     if args.dp and args.point_sharded:
         raise SystemExit("--dp and --point-sharded are mutually exclusive")
     if args.dp:
         mesh = make_mesh()
+        loss_fn = make_gspn_loss_fn(
+            model, args.num_seeds, args.gt_size,
+            {"kl_weight": args.kl_weight},
+            dp_axis="data", dp_size=mesh.shape["data"],
+        )
         step_fn = make_dp_train_step(loss_fn, tx, mesh, bn_momentum_fn=bn_fn)
     elif args.point_sharded:
         from gspn_tpu.parallel.mesh import make_mesh_2d
@@ -287,6 +289,10 @@ def main(argv=None):
             data_axis="data" if rows else None,
         )
     else:
+        loss_fn = make_gspn_loss_fn(
+            model, args.num_seeds, args.gt_size,
+            {"kl_weight": args.kl_weight},
+        )
         step_fn = make_train_step(loss_fn, tx, bn_momentum_fn=bn_fn)
 
     ckpt = CheckpointManager(f"{args.log_dir}/ckpt")

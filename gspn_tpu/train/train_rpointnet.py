@@ -186,14 +186,16 @@ def main(argv=None):
     n_params = sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))
     print(f"R-PointNet: {n_params / 1e6:.2f}M params, feature_dim={fdim}")
 
-    loss_fn = make_rpointnet_loss_fn(
-        model, args.max_instances, frozen,
-        mix_gt_boxes=not args.no_mix_gt_boxes,
-    )
     if args.dp and args.point_sharded:
         raise SystemExit("--dp and --point-sharded are mutually exclusive")
     if args.dp:
-        step_fn = make_dp_train_step(loss_fn, tx, make_mesh(), bn_momentum_fn=bn_fn)
+        mesh = make_mesh()
+        loss_fn = make_rpointnet_loss_fn(
+            model, args.max_instances, frozen,
+            mix_gt_boxes=not args.no_mix_gt_boxes,
+            dp_axis="data", dp_size=mesh.shape["data"],
+        )
+        step_fn = make_dp_train_step(loss_fn, tx, mesh, bn_momentum_fn=bn_fn)
     elif args.point_sharded:
         from gspn_tpu.parallel.mesh import make_mesh_2d
         from gspn_tpu.parallel.train_points import (
@@ -211,6 +213,10 @@ def main(argv=None):
             data_axis="data" if rows else None,
         )
     else:
+        loss_fn = make_rpointnet_loss_fn(
+            model, args.max_instances, frozen,
+            mix_gt_boxes=not args.no_mix_gt_boxes,
+        )
         step_fn = make_train_step(loss_fn, tx, bn_momentum_fn=bn_fn)
 
     ckpt = CheckpointManager(f"{args.log_dir}/ckpt")

@@ -1,10 +1,13 @@
 """Data parallelism on the 8-device virtual CPU mesh, checkpoint round
 trips, and CLI trainer smoke runs (SURVEY.md §4.4)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from gspn_tpu.data import synthetic
 from gspn_tpu.models.gspn import GSPN, GSPNConfig
@@ -53,7 +56,7 @@ def test_dp_training_on_8_device_mesh(rng):
     }
     tx = optax.adam(3e-3)
     model, state = init_state(batch, tx)
-    loss_fn = make_gspn_loss_fn(model, S, G)
+    loss_fn = make_gspn_loss_fn(model, S, G, dp_axis="data", dp_size=8)
     dp_step = make_dp_train_step(loss_fn, tx, mesh)
 
     state = replicate(mesh, state)
@@ -71,76 +74,133 @@ def test_dp_training_on_8_device_mesh(rng):
     assert int(state.step) == 10
 
 
-def _deterministic_loss_fn(model):
-    """GSPN loss with z noise read from the batch (``z_eps``), so the rng
-    argument is unused and per-shard/single-chip runs see identical noise."""
-    from gspn_tpu import ops
-    from gspn_tpu.data.instances import gather_seed_instances
-    from gspn_tpu.models.gspn import gspn_loss
-
-    def loss_fn(params, batch_stats, batch, rng):
-        del rng
-        xyz, valid = batch["xyz"], batch["valid"]
-        seed_idx = ops.farthest_point_sample(S, xyz, valid, impl="xla")
-        gt_points, gt_valid, gt_center, is_fg = gather_seed_instances(
-            xyz, batch["inst_label"], seed_idx, G
+def _assert_tree_close(t1, t2, rtol=5e-5, atol=2e-5):
+    l1 = jax.tree_util.tree_leaves(t1)
+    l2 = jax.tree_util.tree_leaves(t2)
+    assert len(l1) == len(l2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=rtol, atol=atol
         )
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            xyz, seed_idx, valid=valid, gt_points=gt_points,
-            gt_valid=gt_valid, z_eps=batch["z_eps"], train=True,
-            mutable=["batch_stats"],
-        )
-        total, metrics = gspn_loss(
-            out, gt_points, gt_valid, gt_center, is_fg, impl="xla"
-        )
-        return total, (metrics, mutated["batch_stats"])
-
-    return loss_fn
 
 
-def test_dp_step_equals_single_chip(rng):
-    """A DP train step on a replicated global batch (same scene + same z
-    noise on every shard) must produce the SAME updated params, batch
-    stats, and loss as the single-chip step — per-shard grads/stats pmean
-    to the single-chip values exactly up to fp reassociation (SURVEY.md
-    §2.3 DP contract; tolerance documented at 3e-4 relative, 5e-4 absolute for noise-dominated small grads)."""
+def _ragged_batch(rng, b=8, n=128):
+    """Scenes with strongly UNEQUAL valid-point counts per scene — under
+    batch sharding each shard sees a different masked count, which the
+    old per-shard-normalized DP semantics mis-weighted."""
+    batch = synthetic.scene_batch(rng, b, n_points=n, max_instances=3, extent=2.0)
+    valid = np.asarray(batch["valid"]).copy()
+    for i in range(b):
+        keep = n // 2 + (i * n // (2 * b))  # 64..120 of 128
+        valid[i, keep:] = False
+    batch["valid"] = valid
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+@pytest.mark.parametrize("ragged", [False, True])
+def test_dp_step_equals_single_chip(rng, ragged):
+    """THE exactness contract (SURVEY.md §2.3 / VERDICT r3 #4): the DP
+    train step IS the single-device full-batch step — global psum-ed loss
+    normalizers, cross-shard BN statistics, full-batch-shaped rng draws
+    sliced per shard. Checked on distinct scenes per shard, including
+    ragged validity masks (where per-shard-normalized means would
+    diverge); only fp reassociation tolerance remains."""
     mesh = make_mesh(8)
-    one = synthetic.scene_batch(rng, 1, n_points=128, max_instances=3, extent=2.0)
-    batch = {k: jnp.asarray(np.tile(v, (8,) + (1,) * (v.ndim - 1))) for k, v in one.items()}
-    z1 = rng.standard_normal((1, S, TINY.latent_dim)).astype(np.float32)
-    batch["z_eps"] = jnp.asarray(np.tile(z1, (8, 1, 1)))
+    batch = (
+        _ragged_batch(rng)
+        if ragged
+        else {
+            k: jnp.asarray(v)
+            for k, v in synthetic.scene_batch(
+                rng, 8, n_points=128, max_instances=3, extent=2.0
+            ).items()
+        }
+    )
 
     # sgd(1.0): the param delta IS the (pmean-ed) gradient, so this compares
     # gradients directly (adam would amplify fp noise on ~0 grads to ±lr)
     tx = optax.sgd(1.0)
     model, state = init_state(batch, tx)
-    loss_fn = _deterministic_loss_fn(model)
     key = jax.random.PRNGKey(3)
 
-    single = make_train_step(loss_fn, tx)
+    single = make_train_step(make_gspn_loss_fn(model, S, G), tx)
     s1, m1 = single(state, batch, key)
 
-    dp = make_dp_train_step(loss_fn, tx, mesh)
+    dp = make_dp_train_step(
+        make_gspn_loss_fn(model, S, G, dp_axis="data", dp_size=8), tx, mesh
+    )
     s8, m8 = dp(replicate(mesh, state), shard_batch(mesh, batch), key)
 
     np.testing.assert_allclose(
-        float(m8["loss"]), float(m1["loss"]), rtol=1e-5
+        float(m8["loss"]), float(m1["loss"]), rtol=1e-6
     )
-    for a, b in zip(
-        jax.tree_util.tree_leaves(s1.params),
-        jax.tree_util.tree_leaves(s8.params),
-    ):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=3e-4, atol=5e-4
-        )
-    for a, b in zip(
-        jax.tree_util.tree_leaves(s1.batch_stats),
-        jax.tree_util.tree_leaves(s8.batch_stats),
-    ):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=3e-4, atol=5e-4
-        )
+    _assert_tree_close(s1.params, s8.params)
+    _assert_tree_close(s1.batch_stats, s8.batch_stats)
+
+
+def test_dp_stage2_step_equals_single_chip(rng):
+    """Stage-2 DP exactness: frozen-GSPN proposals + jittered-GT mixing +
+    RoI heads — the sliced full-batch jitter/z draws and psum-ed
+    rpointnet_loss normalizers reproduce the single-device step."""
+    from gspn_tpu.models.rpointnet import RPointNet
+    from gspn_tpu.train.steps import make_rpointnet_loss_fn
+    from gspn_tpu.train.train_rpointnet import tiny_rpointnet
+
+    mesh = make_mesh(8)
+    batch = _ragged_batch(rng)
+    tx = optax.sgd(1.0)
+    gmodel, gstate = init_state(batch, tx)
+    frozen = (
+        gmodel,
+        {"params": gstate.params, "batch_stats": gstate.batch_stats},
+        S,
+    )
+    rcfg = dataclasses.replace(tiny_rpointnet(num_classes=3), ops_impl="xla")
+    rmodel = RPointNet(rcfg)
+    key = jax.random.PRNGKey(5)
+    boxes = jnp.tile(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], jnp.float32),
+        (batch["xyz"].shape[0], 4, 1),
+    )
+    rvars = rmodel.init(
+        key, batch["xyz"], boxes, valid=batch["valid"], train=False
+    )
+    rstate = TrainState.create(rvars, tx)
+
+    single = make_train_step(
+        make_rpointnet_loss_fn(rmodel, 4, frozen_gspn=frozen), tx
+    )
+    s1, m1 = single(rstate, batch, key)
+
+    dp = make_dp_train_step(
+        make_rpointnet_loss_fn(
+            rmodel, 4, frozen_gspn=frozen, dp_axis="data", dp_size=8
+        ),
+        tx, mesh,
+    )
+    s8, m8 = dp(replicate(mesh, rstate), shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(
+        float(m8["loss"]), float(m1["loss"]), rtol=1e-6
+    )
+    _assert_tree_close(s1.params, s8.params)
+    _assert_tree_close(s1.batch_stats, s8.batch_stats)
+
+
+def test_dp_requires_dp_aware_loss(rng):
+    """A plain (per-shard-normalized) loss_fn is rejected up front — one
+    DP semantics in the tree (VERDICT r3 weak #2)."""
+    mesh = make_mesh(8)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic.scene_batch(
+            rng, 8, n_points=128, max_instances=3, extent=2.0
+        ).items()
+    }
+    tx = optax.sgd(1.0)
+    model, _ = init_state(batch, tx)
+    with np.testing.assert_raises(ValueError):
+        make_dp_train_step(make_gspn_loss_fn(model, S, G), tx, mesh)
 
 
 def test_checkpoint_roundtrip(tmp_path, rng):
