@@ -11,6 +11,21 @@ fused-points-per-sec / reference-style-points-per-sec.
 
 Flags: ``--dtype bf16`` benches the bf16 (MXU-native) flagship instead of
 f32; point-op kernels stay f32 (index outputs, exact comparisons).
+
+Drift calibration (VERDICT r3 #3): the tunneled chip's absolute
+throughput drifts up to ~40% between sessions, so raw round-over-round
+values are not comparable. Every bench line therefore also carries a
+FROZEN probe program's time (``probe_ms`` — fixed shapes/weights/seed,
+never to be edited) and ``value_per_probe`` = value × probe_seconds:
+points per probe-interval. Both the pipeline and the probe slow down
+together with the tunnel, so ``value_per_probe`` is the cross-session
+comparable number; a drop in ``value_per_probe`` is a real regression,
+a drop in ``value`` alone at elevated ``probe_ms`` is tunnel weather.
+
+Whole-scene regime (VERDICT r3 #5): the same line carries
+``value_wholescene`` (+ its roofline fraction) — fused inference on one
+masked 65,536-point scene, the survey's long-context axis, where the
+box_group and segmented-FPS wins actually live.
 """
 
 from __future__ import annotations
@@ -72,6 +87,37 @@ def _install_tpu_watchdog(init_timeout_s=300.0, total_timeout_s=3000.0):
     jax.devices()  # blocks here if the tunnel is down
     ready.set()
     return done
+
+
+# ---------------------------------------------------------------------------
+# FROZEN drift-calibration probe — r4; DO NOT EDIT (shapes, seeds, ops and
+# timing parameters are the calibration unit itself; any change breaks
+# cross-round comparability of value_per_probe).
+# Composite chosen to mirror the pipeline's two cost structures: the
+# sequential Pallas FPS chain (dispatch + latency-bound loop control) and
+# one MXU matmul (arithmetic throughput).
+# ---------------------------------------------------------------------------
+
+_PROBE_B, _PROBE_N, _PROBE_S, _PROBE_D = 8, 8192, 64, 1024
+
+
+def measure_probe() -> float:
+    """Median seconds per probe call (6 batches × 10 iters)."""
+    from gspn_tpu import ops
+    from gspn_tpu.utils.timing import time_fn
+
+    kx, ka, kb = jax.random.split(jax.random.PRNGKey(42), 3)
+    xyz = jax.random.uniform(kx, (_PROBE_B, _PROBE_N, 3), jnp.float32)
+    a = jax.random.normal(ka, (_PROBE_D, _PROBE_D), jnp.float32)
+    b = jax.random.normal(kb, (_PROBE_D, _PROBE_D), jnp.float32)
+
+    @jax.jit
+    def probe(xyz, a, b):
+        idx = ops.farthest_point_sample(_PROBE_S, xyz)
+        return jnp.sum(idx.astype(jnp.float32)) + jnp.sum(a @ b)
+
+    return time_fn(probe, xyz, a, b, iters=10, warmup=3,
+                   batches=6, stat="median")
 
 
 def _host_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
@@ -220,10 +266,32 @@ def main():
     fused_pps = B * N / fused_dt
     ref_pps = B * N / ref_dt
 
+    # ---- frozen drift-calibration probe (same window as the flagship
+    # measurement; see module docstring)
+    probe_dt = measure_probe()
+
+    # ---- whole-scene regime: one masked 65,536-point scene (the
+    # long-context axis; box_group / segmented-FPS payoff regime)
+    WS_B, WS_N = 1, 65536
+    ws_batch = synthetic.scene_batch(
+        np.random.default_rng(0), WS_B, n_points=WS_N,
+        max_instances=24, extent=8.0,
+    )
+    ws_valid_np = np.asarray(ws_batch["valid"]).copy()
+    ws_valid_np[:, -WS_N // 10:] = False  # ~10% padding, as bench_large
+    ws_xyz = jnp.asarray(ws_batch["xyz"])
+    ws_valid = jnp.asarray(ws_valid_np)
+    ws_dt = time_fn(
+        infer, variables, ws_xyz, None, ws_valid, key,
+        iters=5, warmup=2, batches=4, stat="median",
+    )
+    ws_pps = WS_B * WS_N / ws_dt
+
     # absolute anchor: analytic roofline model vs this measurement
     from gspn_tpu.utils.roofline import pipeline_cost
 
     rep = pipeline_cost(cfg, B, N)["total"].report(fused_dt)
+    ws_rep = pipeline_cost(cfg, WS_B, WS_N)["total"].report(ws_dt)
 
     done.set()
     metric = "instance_seg_inference_points_per_sec_per_chip"
@@ -241,6 +309,17 @@ def main():
                 "mfu": round(rep["mfu"], 5),
                 "roofline_frac": round(rep["frac_of_roof"], 4),
                 "roofline_bound": rep["bound"],
+                # drift calibration: frozen probe (see module docstring);
+                # value_per_probe = value * probe_seconds is the
+                # cross-session comparable number
+                "probe_ms": round(probe_dt * 1e3, 3),
+                "value_per_probe": round(fused_pps * probe_dt, 1),
+                # whole-scene regime (B=1, N=65536, ~10% masked)
+                "value_wholescene": round(ws_pps, 1),
+                "wholescene_ms": round(ws_dt * 1e3, 3),
+                "roofline_frac_wholescene": round(
+                    ws_rep["frac_of_roof"], 4
+                ),
             }
         )
     )

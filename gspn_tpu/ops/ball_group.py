@@ -57,6 +57,13 @@ _UNROLL = 4  # extraction steps per loop iteration (over-steps are no-ops)
 _TM = 128  # query rows per grid program (see _fused_pallas)
 _SORT_Q = True  # Morton-sort queries before the kernel (see _fused_pallas;
 #                 measured: sa1 5.62 -> 4.99 ms standalone on v5e)
+_EXTRACT = "serial"  # "serial" | "rank" — see _fused_kernel. Both are
+#                     oracle-exact first-K; "rank" replaces the serial
+#                     min->select->invalidate latency chain with
+#                     per-window precomputed arrival ranks + independent
+#                     (pipelined) masked-sum extraction steps. Default set
+#                     by the on-chip interleaved A/B
+#                     (scripts/sweep_extract.py).
 
 
 def _fused_kernel(
@@ -74,6 +81,7 @@ def _fused_kernel(
     ntiles: int,
     with_coords: bool,
     unroll: int,
+    extract: str = "serial",
 ):
     npad = xyz_ref.shape[2]
     tm = q_ref.shape[1]
@@ -151,6 +159,66 @@ def _fused_kernel(
                 hits = jnp.sum(hit_w.astype(jnp.int32), axis=1, keepdims=True)
                 need = jnp.maximum(jnp.minimum(hits, k - cnt), 0)
                 tmax = jnp.max(need)
+
+                if extract == "rank":
+                    # ---- rank-order extraction (r4): arrival ranks are
+                    # precomputed ONCE per window (exclusive prefix sum of
+                    # the hit mask), so step u selects the rank-u hit with
+                    # a pure elementwise compare — no min-reduce, no
+                    # invalidation, and every step's masked-sum reduces
+                    # are INDEPENDENT of the previous step (the serial
+                    # mode's min->select->invalidate latency chain is the
+                    # kernel's measured bound, STATUS r3). Identical
+                    # first-K semantics: rank order IS arrival order.
+                    hit_i = hit_w.astype(jnp.int32)
+                    ranks = jnp.cumsum(hit_i, axis=1) - hit_i  # (TM, NW)
+                    cnt0 = cnt
+                    zf = jnp.zeros((tm, nw), jnp.float32)
+                    zi = jnp.zeros((tm, nw), jnp.int32)
+
+                    def rank_step(u, st_, k=k, s=s, base=base,
+                                  x_w=x_w, y_w=y_w, z_w=z_w,
+                                  hit_w=hit_w, ranks=ranks, cnt0=cnt0,
+                                  need=need, zf=zf, zi=zi):
+                        if with_coords:
+                            acc_i, ax, ay, az = st_
+                        else:
+                            (acc_i,) = st_
+                        sel = jnp.logical_and(hit_w, ranks == u)
+                        ok = u < need  # (TM, 1)
+                        li = jnp.sum(
+                            jnp.where(sel, wiota, zi), axis=1, keepdims=True
+                        )
+                        wk = jnp.logical_and(kiotas[s] == cnt0 + u, ok)
+                        acc_i = jnp.where(wk, base + li, acc_i)
+                        if with_coords:
+                            cxv = jnp.sum(
+                                jnp.where(sel, x_w, zf), axis=1, keepdims=True
+                            )
+                            cyv = jnp.sum(
+                                jnp.where(sel, y_w, zf), axis=1, keepdims=True
+                            )
+                            czv = jnp.sum(
+                                jnp.where(sel, z_w, zf), axis=1, keepdims=True
+                            )
+                            ax = jnp.where(wk, cxv, ax)
+                            ay = jnp.where(wk, cyv, ay)
+                            az = jnp.where(wk, czv, az)
+                            return acc_i, ax, ay, az
+                        return (acc_i,)
+
+                    def rank_inner(i, st_, rank_step=rank_step):
+                        # unrolled; over-steps no-op via the u < need guard
+                        for j in range(unroll):
+                            st_ = rank_step(i * unroll + j, st_)
+                        return st_
+
+                    stf = jax.lax.fori_loop(
+                        0, (tmax + unroll - 1) // unroll, rank_inner,
+                        tuple(st_s[1:]),
+                    )
+                    new_st.append((cnt + need,) + tuple(stf))
+                    continue
 
                 def inner_step(st_, k=k, s=s, base=base, x_w=x_w, y_w=y_w, z_w=z_w):
                     if with_coords:
@@ -282,7 +350,8 @@ def _relevant_chunks(radii, xyz1, xyz2, valid1, nc, npad, tm, mpad):
 
 
 def _fused_pallas(
-    radii, nsamples, xyz1, xyz2, valid1, with_coords, interpret
+    radii, nsamples, xyz1, xyz2, valid1, with_coords, interpret,
+    extract=None,
 ):
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
@@ -359,6 +428,7 @@ def _fused_pallas(
             ntiles=mpad // tm,
             with_coords=with_coords,
             unroll=_UNROLL,
+            extract=extract if extract is not None else _EXTRACT,
         ),
         grid=(b, mpad // tm),
         in_specs=[
@@ -403,6 +473,7 @@ def query_ball_group_multi(
     *,
     impl: str = "auto",
     interpret: bool | None = None,
+    extract: str | None = None,
 ):
     """Fused multi-scale ball query + group + center subtract.
 
@@ -412,6 +483,8 @@ def query_ball_group_multi(
       xyz1: (B, N, 3) dataset points.
       xyz2: (B, M, 3) query centers.
       valid1: optional (B, N) dataset validity mask.
+      extract: extraction schedule, "serial" | "rank" (default: the
+        module's swept ``_EXTRACT``); both are oracle-exact first-K.
 
     Returns per scale: ``(idx (B,M,K) i32, cnt (B,M) i32,
     grouped_local (B,M,K,3) f32)`` where ``grouped_local`` ==
@@ -422,7 +495,8 @@ def query_ball_group_multi(
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         return _fused_pallas(
-            radii, nsamples, xyz1, xyz2, valid1, True, interpret
+            radii, nsamples, xyz1, xyz2, valid1, True, interpret,
+            extract=extract,
         )
     results = []
     for r, k in zip(radii, nsamples, strict=True):
@@ -443,6 +517,7 @@ def query_ball_multi_v2(
     *,
     impl: str = "auto",
     interpret: bool | None = None,
+    extract: str | None = None,
 ):
     """Index-only variant on the chunked early-exit kernel (drop-in for
     ``query_ball_point_multi``; same return convention)."""
@@ -451,7 +526,8 @@ def query_ball_multi_v2(
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         return _fused_pallas(
-            radii, nsamples, xyz1, xyz2, valid1, False, interpret
+            radii, nsamples, xyz1, xyz2, valid1, False, interpret,
+            extract=extract,
         )
     return [
         _ball_query_xla(r, k, xyz1, xyz2, valid1)

@@ -22,12 +22,15 @@ def _scene(rng, b=2, n=300, m=40, masked=False):
 
 
 @pytest.mark.parametrize("masked", [False, True])
-@pytest.mark.parametrize("impl", ["xla", "pallas"])
-def test_fused_matches_composed_single_scale(rng, masked, impl):
+@pytest.mark.parametrize(
+    "impl,extract",
+    [("xla", None), ("pallas", "serial"), ("pallas", "rank")],
+)
+def test_fused_matches_composed_single_scale(rng, masked, impl, extract):
     xyz1, xyz2, valid = _scene(rng, masked=masked)
     radius, k = 0.35, 16
     (idx, cnt, grouped), = query_ball_group_multi(
-        (radius,), (k,), xyz1, xyz2, valid, impl=impl
+        (radius,), (k,), xyz1, xyz2, valid, impl=impl, extract=extract
     )
     # oracle indices/counts
     oidx, ocnt = ball_query_oracle(
@@ -54,10 +57,15 @@ def test_fused_multi_scale_matches_per_scale(rng, impl):
         np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
 
 
-@pytest.mark.parametrize("impl", ["xla", "pallas"])
-def test_index_only_variant_matches(rng, impl):
+@pytest.mark.parametrize(
+    "impl,extract",
+    [("xla", None), ("pallas", "serial"), ("pallas", "rank")],
+)
+def test_index_only_variant_matches(rng, impl, extract):
     xyz1, xyz2, valid = _scene(rng, b=1, n=700, m=24, masked=True)
-    outs = query_ball_multi_v2((0.3, 0.6), (8, 24), xyz1, xyz2, valid, impl=impl)
+    outs = query_ball_multi_v2(
+        (0.3, 0.6), (8, 24), xyz1, xyz2, valid, impl=impl, extract=extract
+    )
     for (idx, cnt), r, k in zip(outs, (0.3, 0.6), (8, 24), strict=True):
         ridx, rcnt = ops.query_ball_point(r, k, xyz1, xyz2, valid, impl="xla")
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(ridx))
@@ -82,17 +90,18 @@ def test_fused_empty_and_saturated_rows(rng):
     np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
 
 
-def test_fused_multi_chunk_and_sorted_queries(rng):
+@pytest.mark.parametrize("extract", ["serial", "rank"])
+def test_fused_multi_chunk_and_sorted_queries(rng, extract):
     """Regression (r3 review): with _NC=4096, n must exceed one chunk to
     exercise the chunk while_loop / early exit / AABB pruning off-chip,
     and m must exceed one 128-row tile to exercise the _SORT_Q
     query-sort + un-permute path. n=4600 -> 2 chunks; m=160 -> 2 tiles
-    with Morton-reordered rows."""
+    with Morton-reordered rows. Both extraction schedules (r4)."""
     b, n, m, k = 1, 4600, 160, 8
     xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
     xyz2 = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
     (idx, cnt, grouped), = query_ball_group_multi(
-        (0.25,), (k,), xyz1, xyz2, impl="pallas"
+        (0.25,), (k,), xyz1, xyz2, impl="pallas", extract=extract
     )
     oidx, ocnt = ball_query_oracle(
         0.25, k, np.asarray(xyz1), np.asarray(xyz2), None
@@ -103,13 +112,14 @@ def test_fused_multi_chunk_and_sorted_queries(rng):
     np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
 
 
-def test_fused_crosses_chunk_boundaries(rng):
+@pytest.mark.parametrize("extract", ["serial", "rank"])
+def test_fused_crosses_chunk_boundaries(rng, extract):
     """Hits spanning multiple NW windows keep global ascending order."""
     b, n, m, k = 1, 1500, 6, 24
     xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
     xyz2 = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
     (idx, cnt, grouped), = query_ball_group_multi(
-        (0.9,), (k,), xyz1, xyz2, impl="pallas"
+        (0.9,), (k,), xyz1, xyz2, impl="pallas", extract=extract
     )
     oidx, ocnt = ball_query_oracle(
         0.9, k, np.asarray(xyz1), np.asarray(xyz2), None
