@@ -19,7 +19,17 @@ this module is the host that *runs* it in production:
 - :class:`Server` / :class:`Client` — a minimal length-prefixed npz
   wire protocol over a unix-domain or TCP socket (framed: magic,
   version, u32 payload length, ``np.savez`` payload). One daemon
-  accept-loop, one handler thread per connection, shared session.
+  accept-loop, one handler thread per connection (capped by
+  ``max_connections``), shared session. Responses echo the request's
+  ``_rid`` so a client can never mistake a stale late frame for the
+  answer to a retry; any client-side timeout/recv error closes the
+  connection (reconnect to retry).
+
+Security model: the protocol carries NO authentication — serve on a
+unix socket or a loopback/trusted-network interface only. The server
+caps per-frame payloads at a size derived from the artifact's compiled
+shape (``max_request_scenes``) and refuses beyond ``max_connections``
+concurrent connections.
 
 Replaces: nothing in the reference — it has no serving story at all
 (SURVEY.md §1: no serving layer; eval scripts rebuild the TF1 graph
@@ -44,6 +54,9 @@ from gspn_tpu.serve.export import load_artifact
 _MAGIC = b"GSPN"
 _VERSION = 1
 _HEADER = struct.Struct(">4sBI")  # magic, version, payload length
+# absolute frame ceiling (responses to large chunked batches can be
+# big); SERVERS additionally cap requests at a size derived from the
+# compiled shape — see Server.max_request_bytes
 _MAX_PAYLOAD = 1 << 31
 
 _OUT_FIELDS = ("masks", "scores", "classes", "boxes", "valid")
@@ -83,8 +96,16 @@ class InferenceSession:
     into it (:func:`session_from_checkpoints` does exactly that).
     """
 
-    def __init__(self, artifact: str | pathlib.Path, variables: Any):
-        self.exported, self.manifest = load_artifact(artifact)
+    def __init__(
+        self,
+        artifact: str | pathlib.Path,
+        variables: Any,
+        *,
+        loaded: tuple | None = None,  # pre-loaded (exported, manifest)
+    ):
+        self.exported, self.manifest = (
+            loaded if loaded is not None else load_artifact(artifact)
+        )
         self.variables = variables
         self._lock = threading.Lock()
         # recover the serving signature from the exported calling
@@ -121,6 +142,8 @@ class InferenceSession:
         if xyz.ndim != 3 or xyz.shape[-1] != 3:
             raise ValueError(f"xyz must be (b, n, 3), got {xyz.shape}")
         b, n = xyz.shape[:2]
+        if b < 1:
+            raise ValueError("xyz must contain at least one scene (b >= 1)")
         if n != self.num_points:
             raise ValueError(
                 f"artifact was exported for n_points={self.num_points}, "
@@ -191,13 +214,14 @@ def session_from_checkpoints(
 ) -> InferenceSession:
     """Build a ready session from the artifact's own manifest: rebuild
     the pipeline config, initialize the variables pytree at the exported
-    structure, restore the stage checkpoints into it."""
-    _, manifest = load_artifact(artifact)
+    structure, restore the stage checkpoints into it. The artifact is
+    read once and shared with the session."""
+    loaded = load_artifact(artifact)
+    exported, manifest = loaded
     cfg = pipeline_config_from_manifest(manifest)
     from gspn_tpu.models.pipeline import init_pipeline_variables
     from gspn_tpu.train.checkpoint import restore_variable_collections
 
-    exported, _ = load_artifact(artifact)
     args, _kw = jax.tree.unflatten(exported.in_tree, list(exported.in_avals))
     n_points = int(args[1].shape[1])
     fdim = int(args[2].shape[-1]) if len(args) == 5 else 0
@@ -206,10 +230,14 @@ def session_from_checkpoints(
     )
     for name, ckpt in (("gspn", gspn_ckpt), ("rpointnet", rpointnet_ckpt)):
         if ckpt:
-            variables[name] = restore_variable_collections(
-                ckpt, variables[name]
-            )
-    return InferenceSession(artifact, variables)
+            restored = restore_variable_collections(ckpt, variables[name])
+            # keep exactly the collections the exported structure has:
+            # a use_bn=False stage has no batch_stats collection, and
+            # injecting one would break the exported in_tree match
+            variables[name] = {
+                coll: restored[coll] for coll in variables[name]
+            }
+    return InferenceSession(artifact, variables, loaded=loaded)
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +262,9 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes | None:
     return b"".join(chunks)
 
 
-def _recv_msg(sock: socket.socket) -> dict[str, np.ndarray] | None:
+def _recv_msg(
+    sock: socket.socket, max_len: int = _MAX_PAYLOAD
+) -> dict[str, np.ndarray] | None:
     head = _recv_exact(sock, _HEADER.size)
     if head is None:
         return None
@@ -243,8 +273,8 @@ def _recv_msg(sock: socket.socket) -> dict[str, np.ndarray] | None:
         raise ValueError(f"bad frame magic {magic!r}")
     if version != _VERSION:
         raise ValueError(f"unsupported protocol version {version}")
-    if length > _MAX_PAYLOAD:
-        raise ValueError(f"oversized payload ({length} bytes)")
+    if length > max_len:
+        raise ValueError(f"oversized payload ({length} > {max_len} bytes)")
     payload = _recv_exact(sock, length)
     if payload is None:
         raise ValueError("connection closed mid-frame")
@@ -261,10 +291,32 @@ class Server:
     Errors in a request produce an ``{"error": <message>}`` response on
     that frame (the connection stays up) — malformed FRAMES close the
     connection.
+
+    The protocol has NO authentication: bind unix sockets or loopback/
+    trusted interfaces only. ``max_connections`` caps concurrent handler
+    threads (excess connections are closed on accept);
+    ``max_request_scenes`` bounds the per-frame request payload at that
+    many compiled-shape scenes (derived from the artifact's shapes).
     """
 
-    def __init__(self, session: InferenceSession, address):
+    def __init__(
+        self,
+        session: InferenceSession,
+        address,
+        max_connections: int = 16,
+        max_request_scenes: int = 1024,
+    ):
         self.session = session
+        self._conn_sem = threading.BoundedSemaphore(max_connections)
+        # npz request upper bound: per scene xyz f32 + features f32 +
+        # valid (stored as little as 1 bit/entry, up to i64 by sloppy
+        # clients) + container overhead
+        per_scene = session.num_points * (
+            3 * 4 + session.feature_dim * 4 + 8
+        ) + 4096
+        self.max_request_bytes = min(
+            _MAX_PAYLOAD, max_request_scenes * per_scene + (1 << 20)
+        )
         self._unix_path = None
         if isinstance(address, (str, pathlib.Path)):
             self._unix_path = pathlib.Path(address)
@@ -303,32 +355,43 @@ class Server:
                 conn, _ = self._listener.accept()
             except OSError:
                 return  # listener closed by stop()
+            if not self._conn_sem.acquire(blocking=False):
+                conn.close()  # over max_connections: refuse
+                continue
             threading.Thread(
                 target=self._handle, args=(conn,), daemon=True
             ).start()
 
     def _handle(self, conn: socket.socket):
-        with conn:
-            while not self._stop.is_set():
-                try:
-                    req = _recv_msg(conn)
-                except (ValueError, OSError):
-                    return
-                if req is None:
-                    return
-                try:
-                    out = self.session.predict(
-                        req["xyz"],
-                        valid=req.get("valid"),
-                        features=req.get("features"),
-                        seed=int(req.get("seed", 0)),
-                    )
-                except Exception as e:  # -> error frame, keep serving
-                    out = {"error": np.array(str(e))}
-                try:
-                    _send_msg(conn, out)
-                except OSError:
-                    return
+        try:
+            with conn:
+                while not self._stop.is_set():
+                    try:
+                        req = _recv_msg(conn, self.max_request_bytes)
+                    except (ValueError, OSError):
+                        return
+                    if req is None:
+                        return
+                    rid = req.pop("_rid", None)
+                    try:
+                        out = self.session.predict(
+                            req["xyz"],
+                            valid=req.get("valid"),
+                            features=req.get("features"),
+                            seed=int(req.get("seed", 0)),
+                        )
+                    except Exception as e:  # -> error frame, keep serving
+                        out = {"error": np.array(str(e))}
+                    if rid is not None:
+                        # echo the request id: lets the client reject any
+                        # stale frame left queued by an aborted request
+                        out["_rid"] = np.asarray(rid)
+                    try:
+                        _send_msg(conn, out)
+                    except OSError:
+                        return
+        finally:
+            self._conn_sem.release()
 
     def stop(self):
         self._stop.set()
@@ -346,9 +409,22 @@ class Server:
 
 
 class Client:
-    """Blocking client for :class:`Server`'s wire protocol."""
+    """Blocking client for :class:`Server`'s wire protocol.
 
-    def __init__(self, address, timeout: float | None = 60.0):
+    Request/response correlation: every request carries a fresh ``_rid``
+    which the server echoes back; a mismatched or missing echo (a stale
+    frame from an earlier aborted request) is an error. Any timeout or
+    transport error POISONS the client — the socket is closed and every
+    later call raises ``ConnectionError`` — because after an abort the
+    stream may still hold the late response and retrying on the same
+    connection could misread it. Reconnect (a new Client) to retry.
+    ``timeout`` must cover the server's first-request jit/AOT warmup on
+    real hardware (can exceed a minute); default 300 s.
+    """
+
+    def __init__(self, address, timeout: float | None = 300.0):
+        self._dead = False
+        self._next_rid = 0
         if isinstance(address, (str, pathlib.Path)):
             self._sock = socket.socket(socket.AF_UNIX)
             self._sock.settimeout(timeout)
@@ -365,21 +441,41 @@ class Client:
         features: np.ndarray | None = None,
         seed: int = 0,
     ) -> dict[str, np.ndarray]:
+        if self._dead:
+            raise ConnectionError(
+                "client connection is closed after a previous "
+                "timeout/transport error; create a new Client"
+            )
+        rid = self._next_rid
+        self._next_rid += 1
         req = {"xyz": np.asarray(xyz, np.float32),
-               "seed": np.int64(seed)}
+               "seed": np.int64(seed),
+               "_rid": np.int64(rid)}
         if valid is not None:
             req["valid"] = np.asarray(valid, bool)
         if features is not None:
             req["features"] = np.asarray(features, np.float32)
-        _send_msg(self._sock, req)
-        resp = _recv_msg(self._sock)
+        try:
+            _send_msg(self._sock, req)
+            resp = _recv_msg(self._sock)
+        except (OSError, ValueError):
+            self.close()
+            raise
         if resp is None:
+            self.close()
             raise ConnectionError("server closed the connection")
+        if int(resp.pop("_rid", -1)) != rid:
+            self.close()
+            raise ConnectionError(
+                "response correlation id mismatch (stale frame from an "
+                "aborted request); create a new Client"
+            )
         if "error" in resp:
             raise RuntimeError(f"server error: {resp['error']}")
         return resp
 
     def close(self):
+        self._dead = True
         self._sock.close()
 
     def __enter__(self):

@@ -6,7 +6,7 @@ own manifest (gspn_tpu/serve/runtime.py):
 
     python scripts/serve_gspnx.py --artifact model.gspnx \
         --gspn-ckpt runs/s1/ckpt --rpointnet-ckpt runs/s2/ckpt \
-        --socket /tmp/gspn.sock            # or: --host 0.0.0.0 --port 7447
+        --socket /tmp/gspn.sock            # or: --port 7447 (loopback)
 
     # any client process:
     from gspn_tpu.serve import Client
@@ -16,6 +16,9 @@ own manifest (gspn_tpu/serve/runtime.py):
 Requests of any batch size are padded/chunked to the artifact's
 compiled batch size by the session; the wire format is length-prefixed
 npz (runtime.py docstring).
+
+The protocol carries NO authentication: bind unix sockets or loopback/
+trusted-network interfaces only (the default --host is 127.0.0.1).
 """
 
 from __future__ import annotations

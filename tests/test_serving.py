@@ -185,6 +185,125 @@ def test_server_round_trip_unix_socket(artifact, rng, tmp_path):
     assert not sock.exists()  # stop() cleans up the socket file
 
 
+def test_predict_rejects_empty_batch(artifact):
+    """b=0 fails up front with a clear message, not deep in concatenate
+    (ADVICE r3)."""
+    path, variables = artifact
+    session = InferenceSession(path, variables)
+    with pytest.raises(ValueError, match="at least one scene"):
+        session.predict(np.zeros((0, N, 3), np.float32))
+
+
+def test_client_rejects_stale_frame(artifact, rng, tmp_path):
+    """Request correlation (ADVICE r3 medium): a late response frame left
+    queued by an earlier (aborted) request must NOT be read as the answer
+    to a new request — the id mismatch poisons the client."""
+    from gspn_tpu.serve.runtime import _send_msg
+
+    path, variables = artifact
+    session = InferenceSession(path, variables)
+    xyz, valid = _scenes(rng, B)
+    sock = tmp_path / "gspn.sock"
+    with Server(session, sock):
+        client = Client(sock)
+        # simulate an aborted request whose response is still in flight:
+        # inject a raw frame with a foreign _rid ahead of the client's
+        # own request
+        _send_msg(
+            client._sock,
+            {"xyz": np.asarray(xyz, np.float32), "seed": np.int64(0),
+             "_rid": np.int64(99)},
+        )
+        with pytest.raises(ConnectionError, match="correlation id"):
+            client.predict(xyz, valid, seed=0)
+        # the client is poisoned: no silent reuse of the dirty stream
+        with pytest.raises(ConnectionError, match="new Client"):
+            client.predict(xyz, valid, seed=0)
+        # a fresh connection works
+        with Client(sock) as c2:
+            got = c2.predict(xyz, valid, seed=0)
+            assert got["masks"].shape[0] == B
+
+
+def test_server_caps_connections(artifact, rng, tmp_path):
+    """Connections beyond max_connections are refused (closed), and the
+    refused client raises instead of hanging (ADVICE r3)."""
+    import time
+
+    path, variables = artifact
+    session = InferenceSession(path, variables)
+    xyz, valid = _scenes(rng, B)
+    sock = tmp_path / "gspn.sock"
+    with Server(session, sock, max_connections=1):
+        with Client(sock) as c1:
+            assert c1.predict(xyz, valid)["masks"].shape[0] == B
+            # second concurrent connection: accepted at socket level,
+            # then closed by the server before any frame is served
+            c2 = Client(sock)
+            time.sleep(0.2)
+            with pytest.raises((ConnectionError, OSError)):
+                c2.predict(xyz, valid)
+        # after c1 disconnects the slot frees up
+        deadline = time.monotonic() + 5
+        while True:
+            try:
+                with Client(sock) as c3:
+                    assert c3.predict(xyz, valid)["masks"].shape[0] == B
+                break
+            except (ConnectionError, OSError):
+                if time.monotonic() > deadline:
+                    raise
+                time.sleep(0.1)
+
+
+def test_server_rejects_oversized_request(artifact, rng, tmp_path):
+    """Request frames above the compiled-shape-derived cap close the
+    connection instead of allocating (ADVICE r3)."""
+    from gspn_tpu.serve.runtime import _HEADER, _MAGIC, _VERSION
+
+    path, variables = artifact
+    session = InferenceSession(path, variables)
+    sock = tmp_path / "gspn.sock"
+    with Server(session, sock, max_request_scenes=1) as srv:
+        big = srv.max_request_bytes + 1
+        client = Client(sock)
+        # claim an oversized payload; server must drop the connection
+        client._sock.sendall(_HEADER.pack(_MAGIC, _VERSION, big))
+        with pytest.raises((ConnectionError, OSError)):
+            client._sock.sendall(b"\0" * (1 << 20))
+            resp = client._sock.recv(1)
+            if resp == b"":
+                raise ConnectionError("closed")
+
+
+def test_session_from_checkpoints_no_bn_artifact(tmp_path, rng):
+    """use_bn=False artifact: init variables carry no batch_stats
+    collection; checkpoint restore must not inject one (the exported
+    in_tree would no longer match — ADVICE r3)."""
+    cfg = dataclasses.replace(
+        TINY,
+        gspn=dataclasses.replace(TINY.gspn, use_bn=False),
+        rpointnet=dataclasses.replace(TINY.rpointnet, use_bn=False),
+    )
+    variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), N)
+    assert "batch_stats" not in variables["gspn"]
+    exported = export_inference(cfg, variables, N, batch_size=1)
+    path = save_artifact(tmp_path / "nobn.gspnx", exported, cfg)
+
+    from gspn_tpu.train.checkpoint import CheckpointManager
+
+    trained = jax.tree.map(lambda x: x + 0.01, variables["gspn"])
+    mgr = CheckpointManager(tmp_path / "s1")
+    mgr.save(1, {"params": trained["params"], "batch_stats": {}}, force=True)
+    mgr.close()
+
+    session = session_from_checkpoints(path, gspn_ckpt=tmp_path / "s1")
+    assert "batch_stats" not in session.variables["gspn"]
+    xyz, valid = _scenes(rng, 1)
+    got = session.predict(xyz, valid, seed=0)
+    assert got["masks"].shape[0] == 1
+
+
 def test_server_concurrent_clients(artifact, rng, tmp_path):
     import threading
 
