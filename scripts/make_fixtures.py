@@ -14,10 +14,21 @@ hermetic test environment):
 
 from __future__ import annotations
 
+import os
 import pathlib
 import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+# the point-sharded fixture needs a multi-device CPU mesh; pin the env
+# BEFORE jax initializes (as tests/conftest.py does)
+os.environ["JAX_PLATFORMS"] = "cpu"  # fixtures are CPU-pinned by design
+#                                      (the global env sets axon)
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
 
 import jax
 
@@ -115,7 +126,95 @@ def make_inference_fixture():
     print(f"instance_inference.npz: {len(payload)} arrays")
 
 
+def make_knob_fixtures():
+    """Knobbed-path fixtures (VERDICT r3 #6): every semantics-bearing
+    configuration the CLIs expose gets its own frozen outputs —
+    fps_segments, bf16 compute, 2x width, and the point-sharded
+    inference path (4-device CPU mesh) — so a perf refactor cannot
+    silently drift a knobbed path. fps4/bf16/sharded reuse the base
+    fixture's params (same shapes); width2 freezes its own."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from gspn_tpu.models.pipeline import (
+        init_pipeline_variables,
+        make_inference_fn,
+    )
+    from gspn_tpu.models.presets import (
+        scale_pipeline_widths,
+        set_pipeline_dtype,
+        set_pipeline_fps_segments,
+    )
+    from tests.test_pipeline_eval import TINY
+
+    jb, batch = fixture_inputs()
+    variables = init_pipeline_variables(TINY, jax.random.PRNGKey(0), 128)
+    key = jax.random.PRNGKey(1)
+
+    def outs_of(preds):
+        return {
+            "out/masks": np.asarray(preds.masks),
+            "out/scores": np.asarray(preds.scores),
+            "out/classes": np.asarray(preds.classes),
+            "out/boxes": np.asarray(preds.boxes),
+            "out/valid": np.asarray(preds.valid),
+        }
+
+    # segmented FPS through the full pipeline. Eligibility requires
+    # npoint >= 8*segments for every shared consumer, so the fixture
+    # config raises num_seeds to 16 (params are num_seeds-independent)
+    # and uses S=2 (16 >= 16, sa1 32 % 2 == 0, N=128 % 2 == 0).
+    cfg_s = set_pipeline_fps_segments(
+        dataclasses.replace(TINY, num_seeds=16), 2
+    )
+    preds = make_inference_fn(cfg_s)(variables, jb["xyz"], None, jb["valid"], key)
+    np.savez_compressed(FIXTURE_DIR / "inference_segfps.npz", **outs_of(preds))
+    print("inference_segfps.npz written")
+
+    # bf16 compute dtype, f32 params
+    cfgb = set_pipeline_dtype(TINY, jnp.bfloat16)
+    preds = make_inference_fn(cfgb)(variables, jb["xyz"], None, jb["valid"], key)
+    np.savez_compressed(FIXTURE_DIR / "inference_bf16.npz", **outs_of(preds))
+    print("inference_bf16.npz written")
+
+    # point-sharded inference on a 4-device mesh (num_seeds=12 % 4 == 0)
+    from gspn_tpu.parallel.mesh import make_mesh
+    from gspn_tpu.parallel.scene import make_point_sharded_inference
+
+    mesh = make_mesh(4, axis="space")
+    z_eps = jax.random.normal(
+        jax.random.PRNGKey(7), (2, TINY.num_seeds, TINY.gspn.latent_dim),
+        jnp.float32,
+    )
+    sinfer = make_point_sharded_inference(TINY, mesh, axis="space")
+    preds = sinfer(variables, jb["xyz"], jb["valid"], z_eps)
+    payload = outs_of(preds)
+    payload["in/z_eps"] = np.asarray(z_eps)
+    np.savez_compressed(FIXTURE_DIR / "inference_sharded.npz", **payload)
+    print("inference_sharded.npz written")
+
+    # 2x widths: own params (shapes differ from base)
+    cfg2 = scale_pipeline_widths(TINY, 2)
+    v2 = init_pipeline_variables(cfg2, jax.random.PRNGKey(0), 128)
+    preds = make_inference_fn(cfg2)(v2, jb["xyz"], None, jb["valid"], key)
+    payload = outs_of(preds)
+    payload.update(_flatten_tree(v2["gspn"]["params"], "gspn/params"))
+    payload.update(
+        _flatten_tree(v2["gspn"].get("batch_stats", {}), "gspn/batch_stats")
+    )
+    payload.update(_flatten_tree(v2["rpointnet"]["params"], "rpn/params"))
+    payload.update(
+        _flatten_tree(
+            v2["rpointnet"].get("batch_stats", {}), "rpn/batch_stats"
+        )
+    )
+    np.savez_compressed(FIXTURE_DIR / "inference_width2.npz", **payload)
+    print("inference_width2.npz written")
+
+
 if __name__ == "__main__":
     FIXTURE_DIR.mkdir(parents=True, exist_ok=True)
     make_proposal_fixture()
     make_inference_fixture()
+    make_knob_fixtures()
