@@ -48,6 +48,7 @@ def _box_kernel(
     ntiles: int,
     with_coords: bool,
     unroll: int,
+    extract: str = "serial",
 ):
     tm = q_ref.shape[1]
     kp = idx_ref.shape[2]
@@ -96,6 +97,59 @@ def _box_kernel(
             hits = jnp.sum(hit_w.astype(jnp.int32), axis=1, keepdims=True)
             need = jnp.maximum(jnp.minimum(hits, k - cnt), 0)
             tmax = jnp.max(need)
+
+            if extract == "rank":
+                # rank-order extraction (see ball_group._fused_kernel):
+                # precomputed arrival ranks turn the per-hit dependent
+                # min->select->invalidate chain into independent
+                # (pipelined) masked-sum steps; same first-s semantics.
+                hit_i = hit_w.astype(jnp.int32)
+                ranks = jnp.cumsum(hit_i, axis=1) - hit_i
+                cnt_b = cnt
+                zf = jnp.zeros((tm, nw), jnp.float32)
+                zi = jnp.zeros((tm, nw), jnp.int32)
+
+                def rank_step(u, st_, base=base, x_w=x_w, y_w=y_w,
+                              z_w=z_w, hit_w=hit_w, ranks=ranks,
+                              cnt_b=cnt_b, need=need, zf=zf, zi=zi):
+                    if with_coords:
+                        acc_i, ax, ay, az = st_
+                    else:
+                        (acc_i,) = st_
+                    sel = jnp.logical_and(hit_w, ranks == u)
+                    ok = u < need
+                    li = jnp.sum(
+                        jnp.where(sel, wiota, zi), axis=1, keepdims=True
+                    )
+                    wk = jnp.logical_and(kiota == cnt_b + u, ok)
+                    acc_i = jnp.where(wk, base + li, acc_i)
+                    if with_coords:
+                        cxv = jnp.sum(
+                            jnp.where(sel, x_w, zf), axis=1, keepdims=True
+                        )
+                        cyv = jnp.sum(
+                            jnp.where(sel, y_w, zf), axis=1, keepdims=True
+                        )
+                        czv = jnp.sum(
+                            jnp.where(sel, z_w, zf), axis=1, keepdims=True
+                        )
+                        ax = jnp.where(wk, cxv, ax)
+                        ay = jnp.where(wk, cyv, ay)
+                        az = jnp.where(wk, czv, az)
+                        return acc_i, ax, ay, az
+                    return (acc_i,)
+
+                def rank_inner(i, st_, rank_step=rank_step):
+                    for j in range(unroll):
+                        st_ = rank_step(i * unroll + j, st_)
+                    return st_
+
+                stf = jax.lax.fori_loop(
+                    0, (tmax + unroll - 1) // unroll, rank_inner,
+                    tuple(st[1:]),
+                )
+                st = (cnt + need,) + tuple(stf)
+                continue
 
             def inner_step(st_, base=base, x_w=x_w, y_w=y_w, z_w=z_w):
                 if with_coords:
@@ -212,7 +266,8 @@ def _relevant_chunks_box(boxes, xyz1, valid1, nc, npad, tm, mpad):
     return packed.reshape(b * ntiles, 1 + nchunks)
 
 
-def _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret):
+def _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret,
+                extract=None):
     b, n, _ = xyz1.shape
     r = boxes.shape[1]
     # read the shared knobs at CALL time so runtime retuning of
@@ -275,6 +330,7 @@ def _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret):
             ntiles=mpad // tm,
             with_coords=with_coords,
             unroll=_bg._UNROLL,
+            extract=extract if extract is not None else _bg._EXTRACT,
         ),
         grid=(b, mpad // tm),
         in_specs=[
@@ -326,6 +382,7 @@ def query_box_group(
     with_coords: bool = True,
     impl: str = "auto",
     interpret: bool | None = None,
+    extract: str | None = None,
 ):
     """First-``s`` in-box scene points per RoI, ascending index order.
 
@@ -335,6 +392,8 @@ def query_box_group(
       xyz1: (B, N, 3) scene points.
       valid1: optional (B, N) validity mask.
       with_coords: also return box-center-local coordinates of the hits.
+      extract: extraction schedule, "serial" | "rank" (default: shared
+        ``ball_group._EXTRACT``); both oracle-exact first-s.
 
     Returns ``(idx (B,R,S) i32, cnt (B,R) i32[, local (B,R,S,3) f32])``
     with replicate-first padding past ``cnt`` and the empty-row
@@ -345,7 +404,9 @@ def query_box_group(
     if choice == "pallas" and xyz1.shape[1] <= 131072:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
-        return _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret)
+        return _box_pallas(
+            boxes, s, xyz1, valid1, with_coords, interpret, extract=extract
+        )
     idx, cnt = _box_query_xla(boxes, s, xyz1, valid1)
     if not with_coords:
         return idx, cnt

@@ -88,6 +88,33 @@ def main():
     ball_ab("whole-scene sa1 (B=1 N=65536 M=1024)", 1, 65536, 1024,
             (0.4,), (32,), masked=True)
 
+    # box_group at the RoIAlign shape (R=128 proposals, S=64 samples)
+    from gspn_tpu.ops.box_group import query_box_group
+
+    def box_ab(name, b, n, r, s, extent):
+        batch = synthetic.scene_batch(
+            rng, b, n_points=n, max_instances=8 if n <= 8192 else 24,
+            extent=extent,
+        )
+        xyz = jnp.asarray(batch["xyz"])
+        c = rng.uniform(-extent / 2, extent / 2, (b, r, 3)).astype(np.float32)
+        e = rng.uniform(0.2, 0.8, (b, r, 3)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([c - e, c + e], axis=-1))
+
+        def run(extract, x, bx):
+            return query_box_group(bx, s, x, impl="pallas", extract=extract)
+
+        fa = jax.jit(functools.partial(run, "serial"))
+        fb = jax.jit(functools.partial(run, "rank"))
+        da, db = interleaved(fa, fb, (xyz, boxes), (xyz, boxes),
+                             args.iters, args.batches)
+        print(f"{name:<42s} serial {da*1e3:7.3f} ms  rank {db*1e3:7.3f} ms"
+              f"  ratio {da/db:5.3f}x")
+
+    box_ab("box_group (B=8 N=8192 R=128 S=64)", 8, 8192, 128, 64, 2.0)
+    box_ab("box_group whole-scene (B=1 N=65536 R=128)", 1, 65536, 128, 64,
+           8.0)
+
     # ---- in-program: full fused inference, extract threaded via _EXTRACT
     import gspn_tpu.ops.ball_group as bg
     from gspn_tpu.models.pipeline import (

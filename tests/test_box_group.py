@@ -48,11 +48,16 @@ def _scene(rng, b=2, n=300, r=20, masked=False):
 
 
 @pytest.mark.parametrize("masked", [False, True])
-@pytest.mark.parametrize("impl", ["xla", "pallas"])
-def test_box_group_matches_oracle(rng, masked, impl):
+@pytest.mark.parametrize(
+    "impl,extract",
+    [("xla", None), ("pallas", "serial"), ("pallas", "rank")],
+)
+def test_box_group_matches_oracle(rng, masked, impl, extract):
     xyz1, boxes, valid = _scene(rng, masked=masked)
     s = 16
-    idx, cnt, local = query_box_group(boxes, s, xyz1, valid, impl=impl)
+    idx, cnt, local = query_box_group(
+        boxes, s, xyz1, valid, impl=impl, extract=extract
+    )
     oidx, ocnt = box_group_oracle(
         np.asarray(boxes), s, np.asarray(xyz1),
         None if valid is None else np.asarray(valid),
@@ -97,17 +102,21 @@ def test_box_group_edge_rows(rng, impl):
     np.testing.assert_array_equal(np.asarray(local)[0, 0], want0)
 
 
-@pytest.mark.parametrize("impl", ["xla", "pallas"])
-def test_box_group_multi_chunk(rng, impl):
+@pytest.mark.parametrize(
+    "impl,extract",
+    [("xla", None), ("pallas", "serial"), ("pallas", "rank")],
+)
+def test_box_group_multi_chunk(rng, impl, extract):
     """Regression (r3 review): n=4600 > _NC=4096 actually straddles TWO
     chunks, exercising the chunk while_loop, cross-chunk early exit and
-    _relevant_chunks_box pruning/ordering off-chip (n=1500 fit in one)."""
+    _relevant_chunks_box pruning/ordering off-chip (n=1500 fit in one).
+    Both extraction schedules (r4)."""
     b, n, r, s = 1, 4600, 8, 12
     xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
     c = rng.uniform(-0.8, 0.8, (b, r, 3)).astype(np.float32)
     e = np.full((b, r, 3), 0.3, np.float32)
     boxes = jnp.asarray(np.concatenate([c - e, c + e], axis=-1))
-    idx, cnt, _ = query_box_group(boxes, s, xyz1, impl=impl)
+    idx, cnt, _ = query_box_group(boxes, s, xyz1, impl=impl, extract=extract)
     oidx, ocnt = box_group_oracle(np.asarray(boxes), s, np.asarray(xyz1))
     np.testing.assert_array_equal(np.asarray(idx), oidx)
     np.testing.assert_array_equal(np.asarray(cnt), ocnt)
