@@ -66,6 +66,20 @@ _EXTRACT = "serial"  # "serial" | "rank" — see _fused_kernel. Both are
 #                     (scripts/sweep_extract.py).
 
 
+def _lane_prefix_sum_exclusive(hit_i, wiota, nw: int):
+    """Exclusive prefix sum over the lane axis of ``hit_i (TM, NW)`` via
+    Hillis-Steele roll-doubling (``pltpu.roll`` — Mosaic has no cumsum
+    lowering): ceil(log2(NW)) dependent add steps, each cheap and
+    lane-parallel. Wrapped lanes are masked with the static ``wiota``."""
+    s = hit_i
+    d = 1
+    while d < nw:
+        r = pltpu.roll(s, d, axis=1)
+        s = s + jnp.where(wiota >= d, r, 0)
+        d *= 2
+    return s - hit_i
+
+
 def _fused_kernel(
     rel_ref,  # (B*NT, 1 + nchunks) i32 SMEM, whole array: per (batch,
     #           query-tile) row = [nrel, ascending relevant chunk ids...]
@@ -171,7 +185,7 @@ def _fused_kernel(
                     # kernel's measured bound, STATUS r3). Identical
                     # first-K semantics: rank order IS arrival order.
                     hit_i = hit_w.astype(jnp.int32)
-                    ranks = jnp.cumsum(hit_i, axis=1) - hit_i  # (TM, NW)
+                    ranks = _lane_prefix_sum_exclusive(hit_i, wiota, nw)
                     cnt0 = cnt
                     zf = jnp.zeros((tm, nw), jnp.float32)
                     zi = jnp.zeros((tm, nw), jnp.int32)

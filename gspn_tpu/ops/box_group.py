@@ -104,7 +104,7 @@ def _box_kernel(
                 # min->select->invalidate chain into independent
                 # (pipelined) masked-sum steps; same first-s semantics.
                 hit_i = hit_w.astype(jnp.int32)
-                ranks = jnp.cumsum(hit_i, axis=1) - hit_i
+                ranks = _bg._lane_prefix_sum_exclusive(hit_i, wiota, nw)
                 cnt_b = cnt
                 zf = jnp.zeros((tm, nw), jnp.float32)
                 zi = jnp.zeros((tm, nw), jnp.int32)
