@@ -186,3 +186,35 @@ def compact_instance_ids(inst: np.ndarray) -> tuple[np.ndarray, int]:
     if k < 0:  # >4095 distinct ids: native table overflowed, use slow path
         return _compact_instance_ids_numpy(original)
     return inst, int(k)
+
+
+def morton_sort_batch(batch: dict) -> dict:
+    """Reorder every scene's per-point arrays into Morton (z-order)
+    spatial order — valid points z-ordered first, padding rows kept at
+    the end. The host-side twin of the device ``ops.morton`` pair, used
+    to give data sources without a prep-time ``morton=`` knob (synthetic
+    scenes, object datasets) the spatially-coherent layout the chunked
+    kernels' AABB pruning and ``fps_segments``'s contiguous segment mode
+    expect. Per-point keys are detected by shape (leading dims (B, N))."""
+    xyz = np.asarray(batch["xyz"])
+    b, n = xyz.shape[:2]
+    valid = np.asarray(
+        batch.get("valid", np.ones((b, n), bool)), bool
+    )
+    per_point = [
+        k
+        for k, v in batch.items()
+        if hasattr(v, "shape")
+        and np.ndim(v) >= 2
+        and v.shape[0] == b
+        and v.shape[1] == n
+    ]
+    out = {k: (np.array(v, copy=True) if k in per_point else v)
+           for k, v in batch.items()}
+    for i in range(b):
+        vidx = np.flatnonzero(valid[i]).astype(np.int64)
+        iidx = np.flatnonzero(~valid[i]).astype(np.int64)
+        order = np.concatenate([morton_order(xyz[i], vidx), iidx])
+        for k in per_point:
+            out[k][i] = np.asarray(batch[k])[i][order]
+    return out

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from gspn_tpu.data import synthetic
+from gspn_tpu.data import native, synthetic
 from gspn_tpu.eval import instance_eval as ie
 from gspn_tpu.models.gspn import GSPNConfig
 from gspn_tpu.models.pipeline import (
@@ -45,7 +45,7 @@ def parse_args(argv=None):
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--num-points", type=int, default=4096)
     p.add_argument("--morton", action="store_true",
-                   help="Morton-sort each crop (must match training if the model was trained on sorted crops)")
+                   help="Morton-sort each scene's points (any source; must match training if the model was trained on sorted data)")
     p.add_argument("--num-seeds", type=int, default=64)
     p.add_argument("--num-classes", type=int, default=18)
     p.add_argument("--dump-dir", type=str, default=None)
@@ -206,12 +206,18 @@ def main(argv=None):
 
             ds = PartNetParts(args.partnet_dir, num_points=args.num_points)
 
+        # ScanNetCrops sorts internally (morton=); PartNet needs the
+        # host-side batch sorter. AP is permutation-invariant (masks and
+        # GT labels permute together), so --morton only changes layout.
+        _sort = args.morton and not args.scannet_dir
+
         def batches():
             np_rng = np.random.default_rng(args.seed)
             done = 0
             while done < args.num_scenes:
                 b = min(args.batch, args.num_scenes - done)
-                yield ds.sample_batch(np_rng, b)
+                batch = ds.sample_batch(np_rng, b)
+                yield native.morton_sort_batch(batch) if _sort else batch
                 done += b
     else:
 
@@ -220,8 +226,11 @@ def main(argv=None):
             done = 0
             while done < args.num_scenes:
                 b = min(args.batch, args.num_scenes - done)
-                yield synthetic.scene_batch(
+                batch = synthetic.scene_batch(
                     np_rng, b, n_points=args.num_points, max_instances=8
+                )
+                yield (
+                    native.morton_sort_batch(batch) if args.morton else batch
                 )
                 done += b
 

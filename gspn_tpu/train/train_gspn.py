@@ -163,19 +163,37 @@ def make_sample_fn(args):
             num_points=args.num_points,
             category=getattr(args, "shapenet_category", None),
         )
-        return lambda rng, b: ds.sample_batch(rng, b)
+        return _maybe_morton(args, lambda rng, b: ds.sample_batch(rng, b))
     if getattr(args, "partnet_dir", None):
         from gspn_tpu.data.partnet import PartNetParts
 
         ds = PartNetParts(args.partnet_dir, num_points=args.num_points)
-        return lambda rng, b: ds.sample_batch(rng, b)
+        return _maybe_morton(args, lambda rng, b: ds.sample_batch(rng, b))
     if getattr(args, "synthetic_objects", False):
-        return lambda rng, b: synthetic.object_scene_batch(
-            rng, b, n_points=args.num_points
+        return _maybe_morton(
+            args,
+            lambda rng, b: synthetic.object_scene_batch(
+                rng, b, n_points=args.num_points
+            ),
         )
-    return lambda rng, b: synthetic.scene_batch(
-        rng, b, n_points=args.num_points, max_instances=8
+    return _maybe_morton(
+        args,
+        lambda rng, b: synthetic.scene_batch(
+            rng, b, n_points=args.num_points, max_instances=8
+        ),
     )
+
+
+def _maybe_morton(args, sample_fn):
+    """Apply host-side Morton scene sorting to sources without a
+    prep-time ``morton=`` knob (ScanNetCrops sorts internally) when
+    ``--morton`` is set — the layout fps_segments' contiguous mode and
+    the kernels' AABB pruning expect."""
+    if not getattr(args, "morton", False):
+        return sample_fn
+    from gspn_tpu.data import native
+
+    return lambda rng, b: native.morton_sort_batch(sample_fn(rng, b))
 
 
 def data_iterator(args, np_rng):

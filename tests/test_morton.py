@@ -47,6 +47,52 @@ def test_apply_order_permutes_consistently():
     np.testing.assert_array_equal(np.asarray(sl)[0], np.asarray(labels)[0][p0])
 
 
+def test_morton_sort_batch_consistent_and_local():
+    """Host-side batch sorter (data/native.py): every per-point array is
+    permuted by the same per-scene order, valid points come first in
+    z-order, padding stays last, scalars/non-per-point keys pass through,
+    and consecutive-point locality improves (what the kernels' AABB
+    pruning exploits)."""
+    from gspn_tpu.data import native, synthetic
+
+    rng = np.random.default_rng(4)
+    batch = synthetic.scene_batch(rng, 2, n_points=512, max_instances=6)
+    batch["valid"][:, 400:] = False
+    batch["num_scenes"] = 2  # non-array key must survive untouched
+    out = native.morton_sort_batch(batch)
+    assert out["num_scenes"] == 2
+    for b in range(2):
+        # same multiset of rows <=> a permutation was applied
+        key = np.lexsort(batch["xyz"][b].T)
+        key2 = np.lexsort(out["xyz"][b].T)
+        np.testing.assert_allclose(
+            batch["xyz"][b][key], out["xyz"][b][key2]
+        )
+        # the permutation is shared across keys: recover it from xyz rows
+        # (rows are unique with prob 1) and check labels follow it
+        order = np.array([
+            np.flatnonzero((batch["xyz"][b] == row).all(-1))[0]
+            for row in out["xyz"][b]
+        ])
+        np.testing.assert_array_equal(
+            out["inst_label"][b], batch["inst_label"][b][order]
+        )
+        np.testing.assert_array_equal(
+            out["sem_label"][b], batch["sem_label"][b][order]
+        )
+        np.testing.assert_array_equal(
+            out["valid"][b], batch["valid"][b][order]
+        )
+        # valid-first layout
+        nv = int(batch["valid"][b].sum())
+        assert out["valid"][b][:nv].all() and not out["valid"][b][nv:].any()
+
+    def mean_step(a):
+        return np.linalg.norm(np.diff(a[:400], axis=0), axis=1).mean()
+
+    assert mean_step(out["xyz"][0]) < 0.6 * mean_step(batch["xyz"][0])
+
+
 def test_morton_order_improves_locality():
     """Mean distance between consecutive points drops after sorting —
     the property the chunk-AABB pruning exploits."""
