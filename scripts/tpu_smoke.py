@@ -74,6 +74,18 @@ def main():
         assert bool(jnp.all(fgx == want)), f"fused grouped mismatch r={r}"
     print("fused ball_group (2 scales, chunked+early-exit): idx/cnt/coords match")
 
+    # --- rank-order extraction schedule (r4): exact same outputs, no
+    # serial per-hit chain — must match the xla path on the real chip
+    fused_r = ops.query_ball_group_multi(
+        (0.2, 0.4), (16, k), xyz, centers, valid,
+        impl="pallas", interpret=False, extract="rank",
+    )
+    for (fgi, fgc, fgx), (ri, rc, rx) in zip(fused_r, fused, strict=True):
+        assert bool(jnp.all(fgi == ri)), "rank-extract idx mismatch"
+        assert bool(jnp.all(fgc == rc)), "rank-extract cnt mismatch"
+        assert bool(jnp.all(fgx == rx)), "rank-extract coords mismatch"
+    print("ball_group extract='rank': matches serial schedule on-chip")
+
     # --- fused in-box RoI extraction kernel vs mask+top_k
     from gspn_tpu.ops.box_group import query_box_group
 
@@ -88,6 +100,13 @@ def main():
     assert bool(jnp.all(gl_p == gl_x)), "box_group coords mismatch"
     print(f"box_group (64 RoIs, S=16): idx/cnt/coords pallas==xla, "
           f"mean cnt {float(jnp.mean(gc_p)):.1f}")
+    ri_p, rc_p, rl_p = query_box_group(boxes, 16, xyz, valid,
+                                       impl="pallas", interpret=False,
+                                       extract="rank")
+    assert bool(jnp.all(ri_p == gi_x)), "box_group rank idx mismatch"
+    assert bool(jnp.all(rc_p == gc_x)), "box_group rank cnt mismatch"
+    assert bool(jnp.all(rl_p == gl_x)), "box_group rank coords mismatch"
+    print("box_group extract='rank': matches xla on-chip")
 
     # --- tiled-M three_nn (large source sets stay in VMEM)
     td, ti = ops.three_nn(xyz[:, :512], xyz, valid, impl="pallas", interpret=False)
