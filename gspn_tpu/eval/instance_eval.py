@@ -219,30 +219,35 @@ def evaluate_instances(
                 )
             continue
 
-        # greedy (score-descending) matching
+        # greedy (score-descending) matching. IoUs don't depend on the
+        # matched state, so the per-entry IoU row (and the void fraction)
+        # is computed ONCE per class and reused across all overlap
+        # thresholds — exact, just hoisted out of the per-overlap loop.
+        entry_iou = []  # per entry: IoU against each GT of its scene
+        entry_vfrac = []
+        for _, si, pi in entries:
+            pm = predictions[si].masks[pi]
+            entry_iou.append(
+                np.array([_mask_iou(pm, gm) for gm in scene_gt_masks[si]])
+            )
+            size = int(pm.sum())
+            entry_vfrac.append(
+                float((pm & scene_void[si]).sum()) / size if size else 0.0
+            )
         for ov in all_overlaps:
             matched = [np.zeros(len(m), bool) for m in scene_gt_masks]
             tp = np.zeros(len(entries))
             fp = np.zeros(len(entries))
             for ei, (_, si, pi) in enumerate(entries):
-                pm = predictions[si].masks[pi]
-                best_iou, best_j = 0.0, -1
-                for j, gm in enumerate(scene_gt_masks[si]):
-                    if matched[si][j]:
-                        continue
-                    iou = _mask_iou(pm, gm)
-                    if iou > best_iou:
-                        best_iou, best_j = iou, j
+                ious = np.where(matched[si], -1.0, entry_iou[ei])
+                best_j = int(np.argmax(ious)) if len(ious) else -1
+                best_iou = float(ious[best_j]) if best_j >= 0 else 0.0
                 if best_j >= 0 and best_iou > ov:  # official strict >
                     matched[si][best_j] = True
                     tp[ei] = 1
                 else:
-                    if void_forgive:
-                        size = int(pm.sum())
-                        if size > 0:
-                            vfrac = float((pm & scene_void[si]).sum()) / size
-                            if vfrac > ov:
-                                continue  # ignored: neither TP nor FP
+                    if void_forgive and entry_vfrac[ei] > ov:
+                        continue  # ignored: neither TP nor FP
                     fp[ei] = 1
             ap_table[cls][float(ov)] = _average_precision(tp, fp, n_gt)
 
@@ -264,6 +269,63 @@ def evaluate_instances(
         "ap_25": _mean([per_class[c]["ap_25"] for c in class_ids]),
         "per_class": per_class,
     }
+
+
+def bootstrap_ci(
+    predictions: list[ScenePredictions],
+    ground_truths: list[SceneGT],
+    class_ids: list[int],
+    n_boot: int = 100,
+    seed: int = 0,
+    ci: float = 0.95,
+    **eval_kwargs,
+) -> dict:
+    """Scene-level bootstrap confidence intervals for the AP summary.
+
+    Matching in both ``evaluate_instances`` modes is scene-local (only the
+    cross-scene pooled PR curve couples scenes), so resampling SCENES with
+    replacement is the natural bootstrap unit: it models "how would the
+    number move on a different draw of evaluation scenes", which is the
+    question the 16-scene synthetic A/Bs kept running into (deltas of
+    ±0.05 AP between configs are routinely inside the resampling noise).
+
+    Returns ``{"ap": (lo, hi), "ap_50": (lo, hi), "ap_25": (lo, hi)}`` at
+    the ``ci`` percentile level, computed over ``n_boot`` replicates with
+    a deterministic ``seed``. NaN replicates (a resample can drop every
+    scene containing some class — the per-class mean then shrinks its
+    class set, not NaN; a fully empty resample is impossible since n>=1)
+    are excluded per-field.
+    """
+    assert len(predictions) == len(ground_truths)
+    n = len(predictions)
+    if n == 0 or n_boot <= 0:
+        nan = (float("nan"), float("nan"))
+        return {"ap": nan, "ap_50": nan, "ap_25": nan}
+    rng = np.random.default_rng(seed)
+    samples: dict[str, list[float]] = {"ap": [], "ap_50": [], "ap_25": []}
+    for _ in range(n_boot):
+        idx = rng.integers(0, n, size=n)
+        res = evaluate_instances(
+            [predictions[i] for i in idx],
+            [ground_truths[i] for i in idx],
+            class_ids,
+            **eval_kwargs,
+        )
+        for k in samples:
+            samples[k].append(res[k])
+    lo_q, hi_q = 100 * (1 - ci) / 2, 100 * (1 + ci) / 2
+    out = {}
+    for k, vals in samples.items():
+        v = np.asarray(vals, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            out[k] = (float("nan"), float("nan"))
+        else:
+            out[k] = (
+                float(np.percentile(v, lo_q)),
+                float(np.percentile(v, hi_q)),
+            )
+    return out
 
 
 def predictions_from_device(preds, scene_valid=None) -> list[ScenePredictions]:

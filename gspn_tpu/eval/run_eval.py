@@ -91,6 +91,11 @@ def parse_args(argv=None):
                    help="official void-overlap exclusion: unmatched "
                         "predictions mostly on unannotated points are "
                         "ignored rather than counted as FP")
+    p.add_argument("--bootstrap", type=int, default=0,
+                   help=">0: scene-level bootstrap with this many "
+                        "replicates; adds ap*_ci95 [lo, hi] fields to the "
+                        "summary (use when comparing configs — synthetic "
+                        "16-scene APs move +-0.05 between draws)")
     p.add_argument("--match", choices=["greedy", "per_gt"], default="greedy",
                    help="duplicate-prediction resolution: greedy "
                         "(score-descending, round-1 behavior) or per_gt "
@@ -374,6 +379,16 @@ def main(argv=None):
         "ap_25": res["ap_25"],
         "points_per_sec": round(infer_pts / max(infer_s, 1e-9), 1),
     }
+    if args.bootstrap > 0:
+        cis = ie.bootstrap_ci(
+            all_preds, all_gts, class_ids,
+            n_boot=args.bootstrap, seed=args.seed,
+            min_region_size=args.min_region_size,
+            void_forgive=args.void_forgive,
+            match=args.match,
+        )
+        for k, (lo, hi) in cis.items():
+            summary[f"{k}_ci95"] = [round(lo, 4), round(hi, 4)]
     print(json.dumps(summary))
     return res
 

@@ -165,3 +165,153 @@ def test_void_forgiveness_threshold_is_the_overlap():
     res = ie.evaluate_instances([preds], [gt], [1], void_forgive=True)
     assert np.isclose(res["ap_25"], 1.0)  # forgiven: 0.4 > 0.25
     assert np.isclose(res["ap_50"], 0.5)  # counted: 0.4 <= 0.5
+
+
+def _random_scenes(rng, n_scenes=6, n_pts=200, n_classes=3):
+    """Randomized multi-scene, multi-class prediction/GT sets with messy
+    overlaps, empty classes and void regions — fodder for matcher
+    cross-checks."""
+    preds, gts = [], []
+    for _ in range(n_scenes):
+        inst = np.zeros(n_pts, np.int32)
+        sem = np.zeros(n_pts, np.int32)
+        pos = 0
+        iid = 1
+        while pos < n_pts - 20 and iid <= 6:
+            size = int(rng.integers(8, 40))
+            cls = int(rng.integers(1, n_classes + 1))
+            inst[pos:pos + size] = iid
+            sem[pos:pos + size] = cls
+            pos += size + int(rng.integers(0, 10))  # gaps stay void
+            iid += 1
+        gts.append(ie.gt_from_labels(inst, sem))
+        n_pred = int(rng.integers(1, 9))
+        masks = np.zeros((n_pred, n_pts), bool)
+        for i in range(n_pred):
+            start = int(rng.integers(0, n_pts - 30))
+            masks[i, start:start + int(rng.integers(5, 45))] = True
+        preds.append(ie.ScenePredictions(
+            masks=masks,
+            scores=rng.random(n_pred),
+            classes=rng.integers(1, n_classes + 1, n_pred).astype(np.int32),
+        ))
+    return preds, gts
+
+
+def _greedy_ap_oracle(predictions, ground_truths, class_ids,
+                      min_region_size=0, void_forgive=False):
+    """Sequential re-statement of the greedy matcher with IoUs recomputed
+    inside the per-overlap loop (the pre-hoist formulation) — guards the
+    hoisted IoU-matrix implementation in evaluate_instances."""
+    all_overlaps = np.unique(np.concatenate([ie.OVERLAPS_AP, [0.25, 0.5]]))
+    ap_table = {c: {} for c in class_ids}
+    for cls in class_ids:
+        scene_gt_masks, scene_void = [], []
+        n_gt = 0
+        for gt in ground_truths:
+            masks = []
+            void = (gt.void_mask.copy() if gt.void_mask is not None
+                    else np.zeros_like(gt.inst_label, bool))
+            for iid, icls in gt.inst_class.items():
+                if icls == cls and iid > 0:
+                    m = gt.inst_label == iid
+                    if min_region_size > 0 and m.sum() < min_region_size:
+                        void |= m
+                    else:
+                        masks.append(m)
+            scene_gt_masks.append(masks)
+            scene_void.append(void)
+            n_gt += len(masks)
+        entries = []
+        for si, pred in enumerate(predictions):
+            for pi in np.where(pred.classes == cls)[0]:
+                entries.append((float(pred.scores[pi]), si, int(pi)))
+        entries.sort(key=lambda e: -e[0])
+        for ov in all_overlaps:
+            matched = [np.zeros(len(m), bool) for m in scene_gt_masks]
+            tp = np.zeros(len(entries))
+            fp = np.zeros(len(entries))
+            for ei, (_, si, pi) in enumerate(entries):
+                pm = predictions[si].masks[pi]
+                best_iou, best_j = 0.0, -1
+                for j, gm in enumerate(scene_gt_masks[si]):
+                    if matched[si][j]:
+                        continue
+                    iou = ie._mask_iou(pm, gm)
+                    if iou > best_iou:
+                        best_iou, best_j = iou, j
+                if best_j >= 0 and best_iou > ov:
+                    matched[si][best_j] = True
+                    tp[ei] = 1
+                else:
+                    if void_forgive:
+                        size = int(pm.sum())
+                        if size > 0:
+                            vf = float((pm & scene_void[si]).sum()) / size
+                            if vf > ov:
+                                continue
+                    fp[ei] = 1
+            ap_table[cls][float(ov)] = ie._average_precision(tp, fp, n_gt)
+
+    def mean(vals):
+        vals = [v for v in vals if not np.isnan(v)]
+        return float(np.mean(vals)) if vals else float("nan")
+
+    per_class = {c: mean([ap_table[c][float(o)] for o in ie.OVERLAPS_AP])
+                 for c in class_ids}
+    return {
+        "ap": mean(list(per_class.values())),
+        "ap_50": mean([ap_table[c][0.5] for c in class_ids]),
+        "ap_25": mean([ap_table[c][0.25] for c in class_ids]),
+    }
+
+
+def test_greedy_hoisted_iou_matches_sequential_oracle():
+    """The hoisted per-class IoU matrix (computed once, reused across
+    overlap thresholds) must reproduce the sequential per-overlap greedy
+    matcher exactly, across randomized scenes and protocol knobs."""
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        preds, gts = _random_scenes(rng)
+        class_ids = sorted({c for gt in gts for c in gt.inst_class.values()})
+        for mrs, vf in [(0, False), (10, True), (0, True)]:
+            got = ie.evaluate_instances(
+                preds, gts, class_ids, min_region_size=mrs, void_forgive=vf
+            )
+            want = _greedy_ap_oracle(
+                preds, gts, class_ids, min_region_size=mrs, void_forgive=vf
+            )
+            for k in ("ap", "ap_50", "ap_25"):
+                assert np.isclose(got[k], want[k], equal_nan=True), (
+                    trial, mrs, vf, k, got[k], want[k]
+                )
+
+
+def test_bootstrap_ci_deterministic_and_degenerate():
+    """Identical scenes -> every resample is the same multiset of one
+    scene, so the CI collapses to the point estimate; same seed -> same
+    CI; n_boot=0 -> NaNs."""
+    preds, gt = _scene()
+    point = ie.evaluate_instances([preds], [gt], [1])
+    ci = ie.bootstrap_ci([preds], [gt], [1], n_boot=16, seed=3)
+    for k in ("ap", "ap_50", "ap_25"):
+        assert np.isclose(ci[k][0], point[k])
+        assert np.isclose(ci[k][1], point[k])
+    ci2 = ie.bootstrap_ci([preds], [gt], [1], n_boot=16, seed=3)
+    assert ci == ci2
+    empty = ie.bootstrap_ci([preds], [gt], [1], n_boot=0)
+    assert all(np.isnan(v) for pair in empty.values() for v in pair)
+
+
+def test_bootstrap_ci_brackets_mixed_scenes():
+    """On a mixed multi-scene set the replicate spread is nonzero, lo <=
+    hi, both within [0, 1], and the interval stays stable under the same
+    seed while moving under a different one."""
+    rng = np.random.default_rng(5)
+    preds, gts = _random_scenes(rng, n_scenes=8)
+    class_ids = sorted({c for gt in gts for c in gt.inst_class.values()})
+    ci_a = ie.bootstrap_ci(preds, gts, class_ids, n_boot=40, seed=0)
+    ci_b = ie.bootstrap_ci(preds, gts, class_ids, n_boot=40, seed=0)
+    assert ci_a == ci_b
+    for lo, hi in ci_a.values():
+        assert 0.0 <= lo <= hi <= 1.0
