@@ -151,6 +151,11 @@ def main():
                          "approximation (documented seed-level parity "
                          "delta, ops/fps.py). Both sides of vs_baseline "
                          "use it, so the ratio stays like-for-like.")
+    ap.add_argument("--fps-segment-mode",
+                    choices=["contiguous", "strided", "spatial"],
+                    default="contiguous",
+                    help="segment partition when --fps-segments > 1 "
+                         "('spatial' = Morton-sort inside the FPS op)")
     args = ap.parse_args()
 
     done = _install_tpu_watchdog()
@@ -178,7 +183,9 @@ def main():
     if args.fps_segments != 1:
         from gspn_tpu.models.presets import set_pipeline_fps_segments
 
-        cfg = set_pipeline_fps_segments(cfg, args.fps_segments)
+        cfg = set_pipeline_fps_segments(
+            cfg, args.fps_segments, args.fps_segment_mode
+        )
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(rng, B, n_points=N, max_instances=8)
     xyz = jnp.asarray(batch["xyz"])
@@ -206,6 +213,7 @@ def main():
             segments=ops.eligible_fps_segments(
                 cfg.gspn.fps_segments, cfg.num_seeds, N
             ),
+            segment_mode=cfg.gspn.fps_segment_mode,
         )
 
     @jax.jit
@@ -299,6 +307,8 @@ def main():
         metric += f"_{args.dtype}"
     if args.fps_segments != 1:
         metric += f"_segfps{args.fps_segments}"
+        if args.fps_segment_mode != "contiguous":
+            metric += f"_{args.fps_segment_mode}"
     print(
         json.dumps(
             {

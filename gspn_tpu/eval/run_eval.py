@@ -81,6 +81,13 @@ def parse_args(argv=None):
                         "(seed-level parity delta, ops/fps.py) — only "
                         "proposal/centroid placement changes; checkpoints "
                         "restore unchanged")
+    p.add_argument("--fps-segment-mode",
+                   choices=["contiguous", "strided", "spatial"],
+                   default="contiguous",
+                   help="segment partition when --fps-segments > 1: "
+                        "'spatial' Morton-sorts inside the FPS op "
+                        "(spatially tiled segments on any layout; the "
+                        "measured round-4 recommendation)")
     p.add_argument("--box-percentile", type=float, default=0.0,
                    help=">0: outlier-trimmed proposal box extents")
     p.add_argument("--score-thresh", type=float, default=0.05)
@@ -195,7 +202,9 @@ def main(argv=None):
     if args.fps_segments != 1:
         from gspn_tpu.models.presets import set_pipeline_fps_segments
 
-        cfg = set_pipeline_fps_segments(cfg, args.fps_segments)
+        cfg = set_pipeline_fps_segments(
+            cfg, args.fps_segments, args.fps_segment_mode
+        )
     key = jax.random.PRNGKey(args.seed)
 
     # data source — each batches() call creates its own rng so probing

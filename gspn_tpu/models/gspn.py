@@ -67,6 +67,10 @@ class GSPNConfig:
     # pipeline read this when drawing proposal seeds; see
     # ops.eligible_fps_segments and pipeline.shared_fps_indices)
     fps_segments: int = 1
+    # how fps_segments partitions the scene: contiguous|strided|spatial
+    # ("spatial" Morton-sorts inside the op — spatially tiled segments on
+    # any data layout; see ops/fps.py)
+    fps_segment_mode: str = "contiguous"
     dtype: Any = jnp.float32
 
 

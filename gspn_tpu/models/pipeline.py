@@ -108,13 +108,14 @@ def shared_fps_indices(cfg: PipelineConfig, xyz, valid):
     if (
         cfg.gspn.ops_impl == cfg.rpointnet.ops_impl
         and cfg.gspn.fps_segments == cfg.rpointnet.fps_segments
+        and cfg.gspn.fps_segment_mode == cfg.rpointnet.fps_segment_mode
     ):
         segs = ops.shared_eligible_fps_segments(
             cfg.gspn.fps_segments, (cfg.num_seeds, sa1_n), n
         )
         fps_all = ops.farthest_point_sample(
             max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl,
-            segments=segs,
+            segments=segs, segment_mode=cfg.gspn.fps_segment_mode,
         )
         return fps_all[:, : cfg.num_seeds], fps_all[:, :sa1_n]
     seed_idx = ops.farthest_point_sample(
@@ -122,6 +123,7 @@ def shared_fps_indices(cfg: PipelineConfig, xyz, valid):
         segments=ops.eligible_fps_segments(
             cfg.gspn.fps_segments, cfg.num_seeds, n
         ),
+        segment_mode=cfg.gspn.fps_segment_mode,
     )
     return seed_idx, None  # backbone samples with its own impl/segments
 

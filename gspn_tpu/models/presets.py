@@ -84,20 +84,29 @@ def set_pipeline_dtype(cfg: PipelineConfig, dtype: Any) -> PipelineConfig:
     )
 
 
-def set_pipeline_fps_segments(cfg: PipelineConfig, segments: int) -> PipelineConfig:
+def set_pipeline_fps_segments(
+    cfg: PipelineConfig, segments: int, mode: str = "contiguous"
+) -> PipelineConfig:
     """Enable the segmented parallel-chain FPS approximation in both
     stages (seed sampling + every eligible backbone SA layer). Cuts the
     sequential greedy chain ``segments``-fold — a documented seed-level
-    parity delta (SURVEY.md §7 hard-part #1; ops/fps.py). Best paired
-    with the Morton data layout (``--morton``), where contiguous segments
-    tile the scene spatially. Exposed as ``--fps-segments`` in the
-    trainers, run_eval, export_serving and bench."""
+    parity delta (SURVEY.md §7 hard-part #1; ops/fps.py). ``mode``
+    "spatial" Morton-sorts inside the FPS op, tiling the segments
+    spatially on ANY data layout (the round-4 measured recommendation —
+    "contiguous" only tiles spatially on Morton-sorted data, whose layout
+    was falsified for first-K grouping). Exposed as ``--fps-segments`` /
+    ``--fps-segment-mode`` in the trainers, run_eval, export_serving and
+    bench."""
     import dataclasses
 
     return dataclasses.replace(
         cfg,
-        gspn=dataclasses.replace(cfg.gspn, fps_segments=segments),
-        rpointnet=dataclasses.replace(cfg.rpointnet, fps_segments=segments),
+        gspn=dataclasses.replace(
+            cfg.gspn, fps_segments=segments, fps_segment_mode=mode
+        ),
+        rpointnet=dataclasses.replace(
+            cfg.rpointnet, fps_segments=segments, fps_segment_mode=mode
+        ),
     )
 
 

@@ -98,6 +98,9 @@ class RPointNetConfig:
     # chain S-fold at a documented seed-level parity delta. Pair with the
     # Morton data layout (--morton) for near-exact coverage.
     fps_segments: int = 1
+    # how fps_segments partitions the scene: contiguous|strided|spatial
+    # ("spatial" Morton-sorts inside the op; see ops/fps.py)
+    fps_segment_mode: str = "contiguous"
     dtype: Any = jnp.float32
 
 
@@ -138,6 +141,7 @@ class Backbone(nn.Module):
                 bn_axis=cfg.bn_axis,
                 ops_impl=cfg.ops_impl,
                 fps_segments=cfg.fps_segments,
+                fps_segment_mode=cfg.fps_segment_mode,
                 dtype=cfg.dtype,
                 name=f"sa{i + 1}",
             )(xs[-1], fs[-1], vs[-1], train, sa1_fps_idx if i == 0 else None)

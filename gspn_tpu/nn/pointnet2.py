@@ -37,6 +37,7 @@ def sample_and_group(
     impl: str = "auto",
     fps_idx=None,
     fps_segments: int = 1,
+    fps_segment_mode: str = "contiguous",
 ):
     """FPS -> gather -> ball query (or kNN) -> group -> center local coords.
 
@@ -59,6 +60,7 @@ def sample_and_group(
             segments=ops.eligible_fps_segments(
                 fps_segments, npoint, xyz.shape[1]
             ),
+            segment_mode=fps_segment_mode,
         )
     new_xyz = ops.gather_point(xyz, fps_idx)
     if use_knn:
@@ -116,6 +118,7 @@ class PointNetSAModule(nn.Module):
     bn_axis: str | tuple[str, ...] | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
     fps_segments: int = 1  # >1: segmented FPS approximation where eligible
+    fps_segment_mode: str = "contiguous"  # contiguous|strided|spatial
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -147,6 +150,7 @@ class PointNetSAModule(nn.Module):
                 self.ops_impl,
                 fps_idx,
                 self.fps_segments,
+                self.fps_segment_mode,
             )
             # Parity note: groups are self-padded by replicate-first, so no
             # group mask is needed for "max" (the reference relies on this).
@@ -207,6 +211,7 @@ class PointNetSAModuleMSG(nn.Module):
     bn_axis: str | tuple[str, ...] | None = None  # cross-shard BN stats (nn/layers.py)
     ops_impl: str = "auto"
     fps_segments: int = 1  # >1: segmented FPS approximation where eligible
+    fps_segment_mode: str = "contiguous"  # contiguous|strided|spatial
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -216,6 +221,7 @@ class PointNetSAModuleMSG(nn.Module):
             segments=ops.eligible_fps_segments(
                 self.fps_segments, self.npoint, xyz.shape[1]
             ),
+            segment_mode=self.fps_segment_mode,
         )
         new_xyz = ops.gather_point(xyz, fps_idx)
         outs = []

@@ -260,6 +260,18 @@ def _fps_segmented(
         whole scene and padded points at the END of the scene spread
         evenly across segments — the mask-robust choice for unsorted
         data with heavy padding.
+      - "spatial": Morton-sort INSIDE the op — compute per-point z-order
+        codes (ops/morton.py), co-sort (codes, coords, index, validity)
+        with one stable ``lax.sort``, run "contiguous" chains over the
+        sorted view, and map the selected positions back through the
+        permutation. The scene's raw layout is untouched, so downstream
+        first-K ball grouping (layout-sensitive — STATUS.md round-4
+        mechanism note) sees the original order; only FPS pays the sort.
+        This gives the spatially-tiled segment quality of
+        contiguous-on-Morton-data without the ``--morton`` data layout's
+        measured AP collapse. Invalid points carry the sentinel code and
+        sort last, so they fill the trailing segments; all-invalid
+        segments fall back to the morton-lowest valid point.
 
     Properties (all tested, tests/test_fps_segmented.py):
       - output columns interleave the chains round-robin, so the greedy
@@ -276,10 +288,37 @@ def _fps_segmented(
             f"fps segments={segments} must divide both N={n} and "
             f"npoint={npoint}"
         )
-    if segment_mode not in ("contiguous", "strided"):
+    if segment_mode not in ("contiguous", "strided", "spatial"):
         raise ValueError(
-            f"segment_mode must be contiguous|strided, got {segment_mode}"
+            "segment_mode must be contiguous|strided|spatial, got "
+            f"{segment_mode}"
         )
+    if segment_mode == "spatial":
+        from gspn_tpu.ops import morton as _morton
+
+        codes = _morton.morton_codes(xyz, valid)
+        iota = jnp.broadcast_to(
+            jnp.arange(n, dtype=jnp.int32), (b, n)
+        )
+        operands = [
+            codes,
+            xyz[..., 0].astype(jnp.float32),
+            xyz[..., 1].astype(jnp.float32),
+            xyz[..., 2].astype(jnp.float32),
+            iota,
+        ]
+        if valid is not None:
+            operands.append(valid.astype(jnp.float32))
+        srt = jax.lax.sort(
+            tuple(operands), dimension=1, num_keys=1, is_stable=True
+        )
+        sxyz = jnp.stack(srt[1:4], axis=-1)
+        sidx = srt[4]
+        svalid = None if valid is None else srt[5] > 0.5
+        pos = _fps_segmented(
+            npoint, sxyz, svalid, segments, "contiguous", impl, interpret
+        )
+        return jnp.take_along_axis(sidx, pos, axis=1)
     m = npoint // segments
     ns = n // segments
     if segment_mode == "contiguous":
@@ -384,9 +423,11 @@ def farthest_point_sample(
         FPS (documented seed-level parity delta, SURVEY.md §7 hard-part
         #1). Must divide both ``npoint`` and ``N``.
       segment_mode: how points map to segments when ``segments > 1`` —
-        "contiguous" (default; spatial partition on Morton-sorted scenes)
-        or "strided" (mask-robust on unsorted scenes). See
-        ``_fps_segmented``.
+        "contiguous" (default; spatial partition on Morton-sorted scenes),
+        "strided" (mask-robust on unsorted scenes), or "spatial"
+        (Morton-sort inside the op: spatially-tiled segments on ANY
+        layout, leaving the scene order untouched for downstream
+        first-K grouping). See ``_fps_segmented``.
 
     Returns:
       ``(B, npoint) int32`` indices into N. ``out[:, 0]`` is the first valid

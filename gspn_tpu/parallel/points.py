@@ -133,6 +133,7 @@ def sharded_backbone_body(
             segments=ops.eligible_fps_segments(
                 cfg.fps_segments, p1, xyz.shape[1]
             ),
+            segment_mode=cfg.fps_segment_mode,
         )
     )
     my_fps = jax.lax.dynamic_slice_in_dim(fps_idx, i * per_q, per_q, axis=1)

@@ -204,6 +204,7 @@ def make_point_sharded_gspn_train_step(
                 segments=ops.eligible_fps_segments(
                     cfg.fps_segments, num_seeds, xyz.shape[1]
                 ),
+                segment_mode=cfg.fps_segment_mode,
             )
         eps = _data_slice(
             jax.random.normal(
@@ -333,6 +334,7 @@ def make_point_sharded_rpointnet_train_step(
                 segments=ops.shared_eligible_fps_segments(
                     cfg.fps_segments, (num_seeds, sa1_n), xyz.shape[1]
                 ),
+                segment_mode=cfg.fps_segment_mode,
             )
             seed_idx = fps_all[:, :num_seeds]
             sa1_fps_idx = fps_all[:, :sa1_n]

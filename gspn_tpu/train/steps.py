@@ -131,6 +131,7 @@ def make_gspn_loss_fn(
                 segments=ops.eligible_fps_segments(
                     model.config.fps_segments, num_seeds, xyz.shape[1]
                 ),
+                segment_mode=model.config.fps_segment_mode,
             )
         gt_points, gt_valid, gt_center, is_fg = gather_seed_instances(
             xyz, batch["inst_label"], seed_idx, gt_size
@@ -261,6 +262,7 @@ def make_rpointnet_loss_fn(
                     segments=ops.shared_eligible_fps_segments(
                         cfg.fps_segments, (num_seeds, sa1_n), xyz.shape[1]
                     ),
+                    segment_mode=cfg.fps_segment_mode,
                 )
                 seed_idx = fps_all[:, :num_seeds]
                 sa1_fps_idx = fps_all[:, :sa1_n]
@@ -270,6 +272,7 @@ def make_rpointnet_loss_fn(
                     segments=ops.shared_eligible_fps_segments(
                         cfg.fps_segments, (num_seeds, sa1_n), xyz.shape[1]
                     ),
+                    segment_mode=cfg.fps_segment_mode,
                 )
             if dp_axis is None:
                 gz_kwargs = {"z_rng": rng}

@@ -74,6 +74,11 @@ def add_common_args(p: argparse.ArgumentParser):
                         "(S exact greedy chains over disjoint subsets; "
                         "documented seed-level parity delta, ops/fps.py) — "
                         "cuts FPS latency ~S-fold where sizes are eligible")
+    p.add_argument("--fps-segment-mode",
+                   choices=["contiguous", "strided", "spatial"],
+                   default="contiguous",
+                   help="segment partition when --fps-segments > 1 "
+                        "('spatial' = Morton-sort inside the FPS op)")
 
 
 def parse_args(argv=None):
@@ -250,7 +255,10 @@ def main(argv=None):
     if args.dtype == "bf16":
         cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
     if args.fps_segments != 1:
-        cfg = dataclasses.replace(cfg, fps_segments=args.fps_segments)
+        cfg = dataclasses.replace(
+            cfg, fps_segments=args.fps_segments,
+            fps_segment_mode=args.fps_segment_mode,
+        )
     model = GSPN(cfg)
     tx = optax.adam(build_lr_schedule(args))
     bn_fn = (

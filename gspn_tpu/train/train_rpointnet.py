@@ -123,7 +123,10 @@ def main(argv=None):
     if args.dtype == "bf16":
         cfg = dataclasses.replace(cfg, dtype=jnp.bfloat16)
     if args.fps_segments != 1:
-        cfg = dataclasses.replace(cfg, fps_segments=args.fps_segments)
+        cfg = dataclasses.replace(
+            cfg, fps_segments=args.fps_segments,
+            fps_segment_mode=args.fps_segment_mode,
+        )
     model = RPointNet(cfg)
     tx = optax.adam(build_lr_schedule(args))
     bn_fn = (
@@ -149,7 +152,10 @@ def main(argv=None):
         if args.dtype == "bf16":
             gcfg = dataclasses.replace(gcfg, dtype=jnp.bfloat16)
         if args.fps_segments != 1:
-            gcfg = dataclasses.replace(gcfg, fps_segments=args.fps_segments)
+            gcfg = dataclasses.replace(
+                gcfg, fps_segments=args.fps_segments,
+                fps_segment_mode=args.fps_segment_mode,
+            )
         gmodel = GSPN(gcfg)
         from gspn_tpu import ops
         from gspn_tpu.data.instances import gather_seed_instances

@@ -49,6 +49,14 @@ def main():
             set_pipeline_fps_segments(base, s) if s != 1 else base))
         for s in SEGS
     }
+    # round-4 third option: Morton sort INSIDE the FPS op (raw layout for
+    # grouping, spatially tiled segments for the chains) — see ops/fps.py
+    infers_spatial = {
+        s: jax.jit(make_inference_fn(
+            set_pipeline_fps_segments(base, s, "spatial")))
+        for s in SEGS
+        if s != 1
+    }
     key = jax.random.PRNGKey(1)
 
     for name, b, n, masked in (
@@ -74,6 +82,10 @@ def main():
         for s in SEGS:
             arms.append((f"seg{s}_raw", infers[s], xyz, validj))
             arms.append((f"seg{s}_morton", infers[s], sxyz, svalid))
+            if s != 1:
+                arms.append(
+                    (f"seg{s}_spatial", infers_spatial[s], xyz, validj)
+                )
 
         for _, f, x, v in arms:  # compile everything before interleaving
             time_fn(f, variables, x, None, v, key, iters=1, warmup=1)

@@ -52,6 +52,11 @@ def parse_args(argv=None):
     p.add_argument("--fps-segments", type=int, default=1,
                    help=">1: bake the segmented parallel-chain FPS "
                         "approximation into the artifact (ops/fps.py)")
+    p.add_argument("--fps-segment-mode",
+                   choices=["contiguous", "strided", "spatial"],
+                   default="contiguous",
+                   help="segment partition when --fps-segments > 1 "
+                        "('spatial' = Morton-sort inside the FPS op)")
     p.add_argument("--score-thresh", type=float, default=0.05)
     p.add_argument("--platform", type=str, default=None,
                    help="export platform(s), comma-separated (e.g. tpu "
@@ -110,7 +115,9 @@ def main(argv=None):
     if args.fps_segments != 1:
         from gspn_tpu.models.presets import set_pipeline_fps_segments
 
-        cfg = set_pipeline_fps_segments(cfg, args.fps_segments)
+        cfg = set_pipeline_fps_segments(
+            cfg, args.fps_segments, args.fps_segment_mode
+        )
 
     variables = init_pipeline_variables(
         cfg, jax.random.PRNGKey(0), args.num_points,

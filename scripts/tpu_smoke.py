@@ -44,6 +44,21 @@ def main():
     print(f"fps segmented (S=8, {b * 8} chain rows): pallas==xla {same}")
     assert same
 
+    # --- spatial segmented FPS (Morton sort inside the op) — also pins
+    # that the chip's morton codes/sort agree with the XLA chain path
+    sp_p = ops.farthest_point_sample(
+        m, xyz, valid, impl="pallas", interpret=False, segments=8,
+        segment_mode="spatial",
+    )
+    sp_x = ops.farthest_point_sample(
+        m, xyz, valid, impl="xla", segments=8, segment_mode="spatial"
+    )
+    same = bool(jnp.all(sp_p == sp_x))
+    nuniq = int(np.unique(np.asarray(sp_p)).size)
+    print(f"fps spatial-segmented (S=8): pallas==xla {same}, "
+          f"{nuniq} unique picks")
+    assert same
+
     centers = ops.gather_point(xyz, i_p)
 
     # --- ball query: pallas vs xla

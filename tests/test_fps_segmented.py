@@ -78,6 +78,121 @@ def test_fps_segmented_matches_oracle(impl, mode, masked):
     np.testing.assert_array_equal(np.asarray(got), expect)
 
 
+def spatial_oracle(npoint, xyz, valid, segments):
+    """Spatial mode == stable-sort by the op's own Morton codes (codes
+    are pinned separately in test_morton.py), contiguous chains over the
+    sorted view, positions mapped back through the permutation."""
+    codes = np.asarray(
+        ops.morton_codes(
+            jnp.asarray(xyz),
+            None if valid is None else jnp.asarray(valid),
+        )
+    )
+    out = np.zeros((xyz.shape[0], npoint), np.int32)
+    for bi in range(xyz.shape[0]):
+        order = np.argsort(codes[bi], kind="stable")
+        pos = segmented_oracle(
+            npoint,
+            xyz[bi][order][None],
+            None if valid is None else valid[bi][order][None],
+            segments,
+            "contiguous",
+        )[0]
+        out[bi] = order[pos]
+    return out
+
+
+@pytest.mark.parametrize("impl", ["pallas", "xla"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_fps_spatial_matches_oracle(impl, masked):
+    rng = np.random.default_rng(10)
+    b, n, npoint, segs = 2, 512, 64, 4
+    xyz = rng.normal(size=(b, n, 3)).astype(np.float32)
+    valid = None
+    if masked:
+        valid = rng.random((b, n)) > 0.25
+        valid[:, 0] = True
+    expect = spatial_oracle(npoint, xyz, valid, segs)
+    got = ops.farthest_point_sample(
+        npoint,
+        jnp.asarray(xyz),
+        None if valid is None else jnp.asarray(valid),
+        impl=impl,
+        segments=segs,
+        segment_mode="spatial",
+    )
+    np.testing.assert_array_equal(np.asarray(got), expect)
+
+
+def test_fps_spatial_prefix_consistency_and_validity():
+    """Round-robin prefix consistency at multiples of S survives the
+    internal sort, and invalid points are never selected: with 40% of the
+    scene masked, the sentinel codes sort the padding into the trailing
+    segments, which fall back to a valid index."""
+    rng = np.random.default_rng(11)
+    b, n, segs = 2, 512, 4
+    xyz = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    valid = np.ones((b, n), bool)
+    valid[:, : int(n * 0.4)] = False  # heavy masking -> all-pad segments
+    validj = jnp.asarray(valid)
+    full = ops.farthest_point_sample(
+        64, xyz, validj, impl="xla", segments=segs, segment_mode="spatial"
+    )
+    for k in (4, 16, 32):
+        sub = ops.farthest_point_sample(
+            k, xyz, validj, impl="xla", segments=segs, segment_mode="spatial"
+        )
+        np.testing.assert_array_equal(
+            np.asarray(full[:, :k]), np.asarray(sub)
+        )
+    got = np.asarray(full)
+    for bi in range(b):
+        assert valid[bi, got[bi]].all()
+
+
+def test_fps_spatial_coverage_beats_unsorted_contiguous():
+    """The mode's point: on a SHUFFLED layout (the synthetic pipeline
+    shuffles every scene — data/synthetic.py — and real scan crops are
+    rarely spatially sorted), contiguous/strided segments are random
+    subsets, so the S chains' early picks all chase the same global
+    spread and the interleaved SEED prefix (the first npoint//S per
+    chain) collapses toward ~N/S effective locations — the measured AP
+    falsifier (STATUS.md round-4 A/B). Spatial mode's disjoint Morton
+    tiles remove the redundancy; its seed prefix must cover the scene
+    strictly better and stay close to exact FPS."""
+    rng = np.random.default_rng(12)
+    ratios_spatial, ratios_contig = [], []
+    for _ in range(3):
+        centers = rng.uniform(0, 4, size=(16, 3))
+        pts = (
+            centers[:, None, :]
+            + rng.normal(scale=0.15, size=(16, 128, 3))
+        ).reshape(-1, 3).astype(np.float32)
+        pts = pts[rng.permutation(pts.shape[0])][None]  # shuffled layout
+        xyz = jnp.asarray(pts)
+        # 64-point prefix of a 512-pick pass == the pipeline's seed draw
+        exact = np.asarray(
+            ops.farthest_point_sample(512, xyz, impl="xla")
+        )[0, :64]
+        spat = np.asarray(
+            ops.farthest_point_sample(
+                512, xyz, impl="xla", segments=8, segment_mode="spatial"
+            )
+        )[0, :64]
+        cont = np.asarray(
+            ops.farthest_point_sample(
+                512, xyz, impl="xla", segments=8, segment_mode="contiguous"
+            )
+        )[0, :64]
+        base = _coverage_radius(pts[0], exact)
+        ratios_spatial.append(_coverage_radius(pts[0], spat) / base)
+        ratios_contig.append(_coverage_radius(pts[0], cont) / base)
+    assert np.mean(ratios_spatial) < np.mean(ratios_contig), (
+        ratios_spatial, ratios_contig,
+    )
+    assert np.mean(ratios_spatial) < 1.35, ratios_spatial
+
+
 def test_fps_segmented_prefix_consistency():
     rng = np.random.default_rng(1)
     b, n, segs = 2, 512, 4
