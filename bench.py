@@ -146,14 +146,17 @@ def _host_nms(boxes: np.ndarray, scores: np.ndarray, iou: float) -> np.ndarray:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
-    ap.add_argument("--fps-segments", type=int, default=1,
-                    help=">1: bench the segmented parallel-chain FPS "
-                         "approximation (documented seed-level parity "
-                         "delta, ops/fps.py). Both sides of vs_baseline "
-                         "use it, so the ratio stays like-for-like.")
+    ap.add_argument("--fps-segments", type=int, default=None,
+                    help="segmented parallel-chain FPS (documented "
+                         "seed-level parity delta, ops/fps.py). Default: "
+                         "the flagship preset's choice (8 spatial — "
+                         "measured AP-better than exact); pass 1 to "
+                         "bench the reference's exact greedy FPS. Both "
+                         "sides of vs_baseline use the same setting, so "
+                         "the ratio stays like-for-like.")
     ap.add_argument("--fps-segment-mode",
                     choices=["contiguous", "strided", "spatial"],
-                    default="contiguous",
+                    default="spatial",
                     help="segment partition when --fps-segments > 1 "
                          "('spatial' = Morton-sort inside the FPS op)")
     args = ap.parse_args()
@@ -180,7 +183,7 @@ def main():
             gspn=dataclasses.replace(cfg.gspn, dtype=jnp.bfloat16),
             rpointnet=dataclasses.replace(cfg.rpointnet, dtype=jnp.bfloat16),
         )
-    if args.fps_segments != 1:
+    if args.fps_segments is not None:
         from gspn_tpu.models.presets import set_pipeline_fps_segments
 
         cfg = set_pipeline_fps_segments(
@@ -305,7 +308,7 @@ def main():
     metric = "instance_seg_inference_points_per_sec_per_chip"
     if args.dtype != "f32":
         metric += f"_{args.dtype}"
-    if args.fps_segments != 1:
+    if args.fps_segments is not None and args.fps_segments != 1:
         metric += f"_segfps{args.fps_segments}"
         if args.fps_segment_mode != "contiguous":
             metric += f"_{args.fps_segment_mode}"

@@ -76,18 +76,21 @@ def parse_args(argv=None):
                         "checkpoints were trained with")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="f32",
                    help="MLP/head compute dtype for inference")
-    p.add_argument("--fps-segments", type=int, default=1,
-                   help=">1: segmented parallel-chain FPS approximation "
-                        "(seed-level parity delta, ops/fps.py) — only "
-                        "proposal/centroid placement changes; checkpoints "
-                        "restore unchanged")
+    p.add_argument("--fps-segments", type=int, default=None,
+                   help="segmented parallel-chain FPS (seed-level parity "
+                        "delta, ops/fps.py) — only proposal/centroid "
+                        "placement changes; checkpoints restore "
+                        "unchanged. Default: the preset's choice "
+                        "(flagship: 8 spatial — measured AP-better than "
+                        "exact); pass 1 to force the reference's exact "
+                        "greedy FPS")
     p.add_argument("--fps-segment-mode",
                    choices=["contiguous", "strided", "spatial"],
-                   default="contiguous",
+                   default="spatial",
                    help="segment partition when --fps-segments > 1: "
                         "'spatial' Morton-sorts inside the FPS op "
                         "(spatially tiled segments on any layout; the "
-                        "measured round-4 recommendation)")
+                        "measured round-4 recommendation and default)")
     p.add_argument("--box-percentile", type=float, default=0.0,
                    help=">0: outlier-trimmed proposal box extents")
     p.add_argument("--score-thresh", type=float, default=0.05)
@@ -199,7 +202,7 @@ def main(argv=None):
         from gspn_tpu.models.presets import set_pipeline_dtype
 
         cfg = set_pipeline_dtype(cfg, jnp.bfloat16)
-    if args.fps_segments != 1:
+    if args.fps_segments is not None:
         from gspn_tpu.models.presets import set_pipeline_fps_segments
 
         cfg = set_pipeline_fps_segments(

@@ -115,7 +115,20 @@ def scannet_pipeline(
     num_classes: int = 18,
     feature_dim: int = 0,
     dtype: Any = jnp.float32,
+    fps_segments: int = 8,
+    fps_segment_mode: str = "spatial",
 ) -> PipelineConfig:
+    """Flagship scene-level inference preset.
+
+    Defaults to spatial segmented FPS (S=8, Morton sort inside the op —
+    ops/fps.py): measured on the r4 40k checkpoints it is AP-BETTER than
+    exact greedy FPS (AP 0.314 [0.278, 0.374] vs 0.248 [0.211, 0.300];
+    AP@0.5 / AP@0.25 CIs disjoint — equal-count Morton tiles allocate
+    seeds by point density, so 45% of seeds land on instances vs exact's
+    19% and every instance gets a seed) while cutting whole-scene FPS
+    latency ~1.6x (STATUS.md round-4 tables). Pass ``fps_segments=1``
+    (or ``--fps-segments 1`` on the CLIs) for the reference's exact
+    greedy sampling."""
     return PipelineConfig(
         gspn=GSPNConfig(
             context_radii=(0.25, 0.5, 1.0),
@@ -124,9 +137,13 @@ def scannet_pipeline(
             num_gen_points=256,
             feature_dim=feature_dim,
             dtype=dtype,
+            fps_segments=fps_segments,
+            fps_segment_mode=fps_segment_mode,
         ),
         rpointnet=RPointNetConfig(
-            num_classes=num_classes, feature_dim=feature_dim, dtype=dtype
+            num_classes=num_classes, feature_dim=feature_dim, dtype=dtype,
+            fps_segments=fps_segments,
+            fps_segment_mode=fps_segment_mode,
         ),
         num_seeds=num_seeds,
     )

@@ -64,7 +64,9 @@ def main():
     from gspn_tpu.models.presets import set_pipeline_fps_segments
     from __graft_entry__ import _flagship_pipeline_config
 
-    cfg = _flagship_pipeline_config()
+    # pin the baseline arm to exact FPS (the flagship preset defaults to
+    # spatial seg8 since round 4 — this script A/Bs against exact)
+    cfg = set_pipeline_fps_segments(_flagship_pipeline_config(), 1)
     infer_exact = jax.jit(make_inference_fn(cfg))
     key = jax.random.PRNGKey(1)
 

@@ -66,9 +66,12 @@ def main():
         init_pipeline_variables,
         make_inference_fn,
     )
+    from gspn_tpu.models.presets import set_pipeline_fps_segments
     from __graft_entry__ import _flagship_pipeline_config
 
-    cfg = _flagship_pipeline_config()
+    # pin exact FPS: this script isolates the DATA-layout effect, and its
+    # recorded r4 numbers predate the spatial-seg8 preset default
+    cfg = set_pipeline_fps_segments(_flagship_pipeline_config(), 1)
     infer = jax.jit(make_inference_fn(cfg))
     key = jax.random.PRNGKey(1)
 

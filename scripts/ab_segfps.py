@@ -43,10 +43,12 @@ def main():
     from gspn_tpu.utils.timing import time_fn
     from __graft_entry__ import _flagship_pipeline_config
 
+    # every arm pinned explicitly — the flagship preset defaults to
+    # spatial seg8 since round 4, so "base" is NOT the exact arm
     base = _flagship_pipeline_config()
     infers = {
         s: jax.jit(make_inference_fn(
-            set_pipeline_fps_segments(base, s) if s != 1 else base))
+            set_pipeline_fps_segments(base, s, "contiguous")))
         for s in SEGS
     }
     # round-4 third option: Morton sort INSIDE the FPS op (raw layout for

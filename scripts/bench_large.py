@@ -31,9 +31,12 @@ def main():
     )
     from gspn_tpu.ops.ball_group import query_ball_group_multi
     from gspn_tpu.utils.timing import time_fn
+    from gspn_tpu.models.presets import set_pipeline_fps_segments
     from __graft_entry__ import _flagship_pipeline_config
 
-    cfg = _flagship_pipeline_config()
+    # exact-FPS base so rows stay comparable with the r2-r4 records; the
+    # segmented variants are separate labelled rows below
+    cfg = set_pipeline_fps_segments(_flagship_pipeline_config(), 1)
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(
         rng, B, n_points=N, max_instances=24, extent=8.0
@@ -106,6 +109,15 @@ def main():
     dt8 = bench(
         "FUSED whole-scene inference (fps_segments=8)",
         lambda v_, x, m, k: infer8(v_, x, None, m, k),
+        variables, xyz, validj, jax.random.PRNGKey(1), iters=5,
+    )
+
+    # spatial seg8 (Morton sort inside the op — the flagship preset
+    # default since round 4: AP-better than exact AND fast at scale)
+    infer8s = make_inference_fn(set_pipeline_fps_segments(cfg, 8, "spatial"))
+    bench(
+        "FUSED whole-scene inference (fps_segments=8 spatial)",
+        lambda v_, x, m, k: infer8s(v_, x, None, m, k),
         variables, xyz, validj, jax.random.PRNGKey(1), iters=5,
     )
 

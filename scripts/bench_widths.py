@@ -30,7 +30,11 @@ B, N = 8, 8192
 def scaled_pipeline(mult: int, dtype):
     from gspn_tpu.models.presets import scale_pipeline_widths, scannet_pipeline
 
-    return scale_pipeline_widths(scannet_pipeline(dtype=dtype), mult)
+    # exact FPS: keeps the width/dtype study comparable with the r3 table
+    # (the preset defaults to spatial seg8 since round 4)
+    return scale_pipeline_widths(
+        scannet_pipeline(dtype=dtype, fps_segments=1), mult
+    )
 
 
 def main():

@@ -49,12 +49,14 @@ def parse_args(argv=None):
                    help="MLP width multiplier — must match the "
                         "checkpoints' training value")
     p.add_argument("--dtype", choices=["f32", "bf16"], default="f32")
-    p.add_argument("--fps-segments", type=int, default=1,
-                   help=">1: bake the segmented parallel-chain FPS "
-                        "approximation into the artifact (ops/fps.py)")
+    p.add_argument("--fps-segments", type=int, default=None,
+                   help="segmented parallel-chain FPS baked into the "
+                        "artifact (ops/fps.py). Default: the preset's "
+                        "choice (flagship: 8 spatial); pass 1 to bake "
+                        "exact greedy FPS")
     p.add_argument("--fps-segment-mode",
                    choices=["contiguous", "strided", "spatial"],
-                   default="contiguous",
+                   default="spatial",
                    help="segment partition when --fps-segments > 1 "
                         "('spatial' = Morton-sort inside the FPS op)")
     p.add_argument("--score-thresh", type=float, default=0.05)
@@ -112,7 +114,7 @@ def main(argv=None):
         from gspn_tpu.models.presets import set_pipeline_dtype
 
         cfg = set_pipeline_dtype(cfg, jnp.bfloat16)
-    if args.fps_segments != 1:
+    if args.fps_segments is not None:
         from gspn_tpu.models.presets import set_pipeline_fps_segments
 
         cfg = set_pipeline_fps_segments(

@@ -172,6 +172,19 @@ def make_knob_fixtures():
     np.savez_compressed(FIXTURE_DIR / "inference_segfps.npz", **outs_of(preds))
     print("inference_segfps.npz written")
 
+    # spatial segmented FPS (Morton sort inside the op — the round-4
+    # default for the flagship preset) through the full pipeline
+    cfg_sp = set_pipeline_fps_segments(
+        dataclasses.replace(TINY, num_seeds=16), 2, "spatial"
+    )
+    preds = make_inference_fn(cfg_sp)(
+        variables, jb["xyz"], None, jb["valid"], key
+    )
+    np.savez_compressed(
+        FIXTURE_DIR / "inference_segfps_spatial.npz", **outs_of(preds)
+    )
+    print("inference_segfps_spatial.npz written")
+
     # bf16 compute dtype, f32 params
     cfgb = set_pipeline_dtype(TINY, jnp.bfloat16)
     preds = make_inference_fn(cfgb)(variables, jb["xyz"], None, jb["valid"], key)

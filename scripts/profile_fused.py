@@ -129,7 +129,12 @@ def main():
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--wholescene", action="store_true",
                     help="B=1, N=65536 masked instead of flagship 8x8192")
-    ap.add_argument("--fps-segments", type=int, default=1)
+    ap.add_argument("--fps-segments", type=int, default=None,
+                    help="default = the preset's choice (8 spatial), "
+                         "1 = exact")
+    ap.add_argument("--fps-segment-mode",
+                    choices=["contiguous", "strided", "spatial"],
+                    default="spatial")
     args = ap.parse_args()
 
     from gspn_tpu.data import synthetic
@@ -138,10 +143,12 @@ def main():
     from __graft_entry__ import _flagship_pipeline_config
 
     cfg = _flagship_pipeline_config()
-    if args.fps_segments != 1:
+    if args.fps_segments is not None:
         from gspn_tpu.models.presets import set_pipeline_fps_segments
 
-        cfg = set_pipeline_fps_segments(cfg, args.fps_segments)
+        cfg = set_pipeline_fps_segments(
+            cfg, args.fps_segments, args.fps_segment_mode
+        )
     b, n = (1, 65536) if args.wholescene else (8, 8192)
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(

@@ -33,8 +33,12 @@ def main():
     ap.add_argument("--trace", type=str, default=None,
                     help="also capture a jax.profiler trace of the fused run")
     ap.add_argument("--iters", type=int, default=ITERS)
-    ap.add_argument("--fps-segments", type=int, default=1,
-                    help=">1: profile with segmented parallel-chain FPS")
+    ap.add_argument("--fps-segments", type=int, default=None,
+                    help="segmented parallel-chain FPS; default = the "
+                         "preset's choice (8 spatial), 1 = exact")
+    ap.add_argument("--fps-segment-mode",
+                    choices=["contiguous", "strided", "spatial"],
+                    default="spatial")
     args = ap.parse_args()
 
     from gspn_tpu import ops
@@ -59,10 +63,12 @@ def main():
             gspn=dataclasses.replace(cfg.gspn, dtype=jnp.bfloat16),
             rpointnet=dataclasses.replace(cfg.rpointnet, dtype=jnp.bfloat16),
         )
-    if args.fps_segments != 1:
+    if args.fps_segments is not None:
         from gspn_tpu.models.presets import set_pipeline_fps_segments
 
-        cfg = set_pipeline_fps_segments(cfg, args.fps_segments)
+        cfg = set_pipeline_fps_segments(
+            cfg, args.fps_segments, args.fps_segment_mode
+        )
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(rng, B, n_points=N, max_instances=8)
     xyz = jnp.asarray(batch["xyz"])

@@ -140,7 +140,7 @@ def _assert_preds_match(preds, z, bf16=False):
     )
 
 
-@pytest.mark.parametrize("knob", ["segfps", "bf16"])
+@pytest.mark.parametrize("knob", ["segfps", "segfps_spatial", "bf16"])
 def test_knobbed_inference_matches_fixture(knob):
     import dataclasses
 
@@ -153,13 +153,16 @@ def test_knobbed_inference_matches_fixture(knob):
 
     base = _load("instance_inference.npz")
     z = _load(f"inference_{knob}.npz")
-    cfg = (
-        set_pipeline_fps_segments(
+    if knob == "segfps":
+        cfg = set_pipeline_fps_segments(
             dataclasses.replace(TINY, num_seeds=16), 2
         )
-        if knob == "segfps"
-        else set_pipeline_dtype(TINY, jnp.bfloat16)
-    )
+    elif knob == "segfps_spatial":
+        cfg = set_pipeline_fps_segments(
+            dataclasses.replace(TINY, num_seeds=16), 2, "spatial"
+        )
+    else:
+        cfg = set_pipeline_dtype(TINY, jnp.bfloat16)
     variables = _base_pipeline_variables(base)
     preds = make_inference_fn(cfg)(
         variables,
@@ -169,7 +172,7 @@ def test_knobbed_inference_matches_fixture(knob):
         jax.random.PRNGKey(1),
     )
     _assert_preds_match(preds, z, bf16=knob == "bf16")
-    if knob == "segfps":
+    if knob in ("segfps", "segfps_spatial"):
         # the approximation must actually engage: the same config with
         # exact FPS (segments=1) picks a different seed set
         exact = make_inference_fn(

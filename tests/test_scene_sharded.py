@@ -147,6 +147,19 @@ def test_point_sharded_whole_scene(rng):
     _compare(cfg, b=1, n=2048, rng=rng)
 
 
+def test_point_sharded_spatial_segfps_matches(rng):
+    """The flagship preset's spatial segmented FPS (Morton sort inside
+    the op, ops/fps.py) under the fully sharded pipeline: the in-op
+    lax.sort runs on the replicated xyz inside shard_map and the sharded
+    outputs must still equal single-device exactly."""
+    from gspn_tpu.models.presets import set_pipeline_fps_segments
+
+    cfg = set_pipeline_fps_segments(
+        dataclasses.replace(TINY, num_seeds=16), 2, "spatial"
+    )
+    _compare(cfg, b=2, n=192, rng=rng)
+
+
 def test_point_sharded_with_features(rng):
     """Feature-carrying configs (e.g. RGB) shard the same way: features
     are replicated inputs (small), the feature-conditioned backbone map
