@@ -328,6 +328,65 @@ def bootstrap_ci(
     return out
 
 
+def bootstrap_diff(
+    predictions_a: list[ScenePredictions],
+    predictions_b: list[ScenePredictions],
+    ground_truths: list[SceneGT],
+    class_ids: list[int],
+    n_boot: int = 100,
+    seed: int = 0,
+    ci: float = 0.95,
+    **eval_kwargs,
+) -> dict:
+    """PAIRED scene-level bootstrap of the AP difference (A - B).
+
+    For config A/Bs on the SAME scenes (e.g. two FPS settings on one
+    checkpoint), two independent :func:`bootstrap_ci` intervals waste
+    power: the scene draw is shared, so most of each arm's variance is
+    common and cancels in the difference. Here every replicate resamples
+    ONE scene index set and applies it to BOTH arms, giving the CI of
+    the per-draw delta — the statistic that actually answers "is A
+    better than B on scenes like these".
+
+    Returns ``{"ap_diff": (lo, hi), "ap_50_diff": ..., "ap_25_diff": ...,
+    "ap_diff_mean": ..., ...}``. A CI excluding 0 is a significant
+    difference at the ``ci`` level.
+    """
+    assert len(predictions_a) == len(predictions_b) == len(ground_truths)
+    n = len(ground_truths)
+    if n == 0 or n_boot <= 0:
+        nan = (float("nan"), float("nan"))
+        return {f"{k}_diff": nan for k in ("ap", "ap_50", "ap_25")}
+    rng = np.random.default_rng(seed)
+    samples: dict[str, list[float]] = {"ap": [], "ap_50": [], "ap_25": []}
+    for _ in range(n_boot):
+        idx = rng.integers(0, n, size=n)
+        gts = [ground_truths[i] for i in idx]
+        res_a = evaluate_instances(
+            [predictions_a[i] for i in idx], gts, class_ids, **eval_kwargs
+        )
+        res_b = evaluate_instances(
+            [predictions_b[i] for i in idx], gts, class_ids, **eval_kwargs
+        )
+        for k in samples:
+            samples[k].append(res_a[k] - res_b[k])
+    lo_q, hi_q = 100 * (1 - ci) / 2, 100 * (1 + ci) / 2
+    out = {}
+    for k, vals in samples.items():
+        v = np.asarray(vals, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            out[f"{k}_diff"] = (float("nan"), float("nan"))
+            out[f"{k}_diff_mean"] = float("nan")
+        else:
+            out[f"{k}_diff"] = (
+                float(np.percentile(v, lo_q)),
+                float(np.percentile(v, hi_q)),
+            )
+            out[f"{k}_diff_mean"] = float(np.mean(v))
+    return out
+
+
 def predictions_from_device(preds, scene_valid=None) -> list[ScenePredictions]:
     """Convert a batched InstancePredictions pytree (device) to per-scene
     host predictions, dropping invalid proposal slots and padded points."""

@@ -91,6 +91,19 @@ def parse_args(argv=None):
                         "'spatial' Morton-sorts inside the FPS op "
                         "(spatially tiled segments on any layout; the "
                         "measured round-4 recommendation and default)")
+    p.add_argument("--ab-fps-segments", type=int, default=None,
+                   help="paired A/B: ALSO run a second arm with this "
+                        "fps_segments on the SAME scenes and report the "
+                        "scene-paired bootstrap CI of the AP difference "
+                        "(main - arm B). Far more powerful than two "
+                        "independent --bootstrap runs: the shared scene "
+                        "draw cancels in the difference. Needs "
+                        "--bootstrap > 0; incompatible with "
+                        "--point-sharded / --artifact")
+    p.add_argument("--ab-fps-segment-mode",
+                   choices=["contiguous", "strided", "spatial"],
+                   default="spatial",
+                   help="segment partition for the --ab-fps-segments arm")
     p.add_argument("--box-percentile", type=float, default=0.0,
                    help=">0: outlier-trimmed proposal box extents")
     p.add_argument("--score-thresh", type=float, default=0.05)
@@ -322,6 +335,25 @@ def main(argv=None):
             return exported.call(variables, xyz, valid, key)
     else:
         infer = jax.jit(make_inference_fn(cfg))
+    infer_b = None
+    if args.ab_fps_segments is not None:
+        if args.point_sharded or args.artifact:
+            raise ValueError(
+                "--ab-fps-segments runs a second live-traced arm and is "
+                "incompatible with --point-sharded / --artifact"
+            )
+        if args.bootstrap <= 0:
+            raise ValueError(
+                "--ab-fps-segments reports a paired bootstrap CI; pass "
+                "--bootstrap N (e.g. 100)"
+            )
+        from gspn_tpu.models.presets import set_pipeline_fps_segments
+
+        cfg_b = set_pipeline_fps_segments(
+            cfg, args.ab_fps_segments, args.ab_fps_segment_mode
+        )
+        infer_b = jax.jit(make_inference_fn(cfg_b))
+    all_preds_b = []
     all_preds, all_gts = [], []
     infer_s = 0.0
     infer_pts = 0
@@ -342,6 +374,11 @@ def main(argv=None):
         if scene_i > 0:  # first batch pays compile; keep it out of the rate
             infer_s += _time.perf_counter() - t0
             infer_pts += int(jb["valid"].size)
+        if infer_b is not None:  # paired arm: same batch, same rng key
+            preds_b = infer_b(variables, jb["xyz"], feats, jb["valid"], key)
+            all_preds_b.extend(
+                ie.predictions_from_device(preds_b, jb["valid"])
+            )
         for bi, sp in enumerate(scenes):
             v = batch["valid"][bi]
             gt = ie.gt_from_labels(
@@ -401,6 +438,28 @@ def main(argv=None):
         )
         for k, (lo, hi) in cis.items():
             summary[f"{k}_ci95"] = [round(lo, 4), round(hi, 4)]
+    if infer_b is not None:
+        res_b = ie.evaluate_instances(
+            all_preds_b, all_gts, class_ids,
+            min_region_size=args.min_region_size,
+            void_forgive=args.void_forgive,
+            match=args.match,
+        )
+        for k in ("ap", "ap_50", "ap_25"):
+            summary[f"{k}_armB"] = res_b[k]
+        diff = ie.bootstrap_diff(
+            all_preds, all_preds_b, all_gts, class_ids,
+            n_boot=args.bootstrap, seed=args.seed,
+            min_region_size=args.min_region_size,
+            void_forgive=args.void_forgive,
+            match=args.match,
+        )
+        for k, v in diff.items():
+            summary[k] = (
+                [round(v[0], 4), round(v[1], 4)]
+                if isinstance(v, tuple)
+                else round(v, 4)
+            )
     print(json.dumps(summary))
     return res
 

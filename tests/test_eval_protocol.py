@@ -315,3 +315,46 @@ def test_bootstrap_ci_brackets_mixed_scenes():
     assert ci_a == ci_b
     for lo, hi in ci_a.values():
         assert 0.0 <= lo <= hi <= 1.0
+
+
+def test_bootstrap_diff_paired():
+    """Paired scene-level bootstrap of the AP difference:
+    - identical arms -> every replicate's diff is exactly 0;
+    - arm A = GT-perfect predictions vs arm B = noise -> CI strictly
+      positive (excludes 0);
+    - deterministic under the same seed."""
+    rng = np.random.default_rng(9)
+    preds_b, gts = _random_scenes(rng, n_scenes=8)
+    # arm A: perfect predictions derived from the GT itself
+    preds_a = []
+    for gt in gts:
+        ids = sorted(gt.inst_class)
+        n_pts = gt.inst_label.shape[0]
+        masks = np.stack([gt.inst_label == i for i in ids]) if ids else (
+            np.zeros((0, n_pts), bool)
+        )
+        preds_a.append(ie.ScenePredictions(
+            masks=masks,
+            scores=np.linspace(0.9, 0.99, len(ids)),
+            classes=np.array(
+                [gt.inst_class[i] for i in ids], np.int32
+            ),
+        ))
+    class_ids = sorted({c for gt in gts for c in gt.inst_class.values()})
+
+    same = ie.bootstrap_diff(
+        preds_a, preds_a, gts, class_ids, n_boot=20, seed=0
+    )
+    for k in ("ap_diff", "ap_50_diff", "ap_25_diff"):
+        assert same[k] == (0.0, 0.0)
+        assert same[f"{k}_mean"] == 0.0
+
+    diff = ie.bootstrap_diff(
+        preds_a, preds_b, gts, class_ids, n_boot=40, seed=0
+    )
+    assert diff["ap_diff"][0] > 0.0  # CI excludes 0: A really is better
+    assert diff["ap_diff"][0] <= diff["ap_diff"][1] <= 1.0
+    diff2 = ie.bootstrap_diff(
+        preds_a, preds_b, gts, class_ids, n_boot=40, seed=0
+    )
+    assert diff == diff2

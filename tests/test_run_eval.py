@@ -202,3 +202,44 @@ def test_run_eval_dump_format_scannet(tmp_path):
     assert len(scenes) == 2
     back = read_scannet_submission(tmp_path / "sub", scenes[0].stem)
     assert back.masks.ndim == 2
+
+
+def test_run_eval_paired_ab(tmp_path):
+    """--ab-fps-segments runs a second FPS arm on the same scenes and
+    reports the paired bootstrap diff: armB point APs + *_diff CIs in the
+    summary; flag validation rejects missing --bootstrap and the sharded
+    path."""
+    import io
+    import contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res = run_eval.main([
+            "--num-scenes", "4", "--batch", "2", "--num-points", "256",
+            "--num-seeds", "16", "--num-classes", "3", "--preset", "tiny",
+            "--fps-segments", "2", "--fps-segment-mode", "spatial",
+            "--ab-fps-segments", "1", "--bootstrap", "8",
+        ])
+    assert set(res) >= {"ap", "ap_50", "ap_25"}
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    for k in ("ap_armB", "ap_diff", "ap_diff_mean", "ap_50_diff",
+              "ap_25_diff"):
+        assert k in summary, sorted(summary)
+    lo, hi = summary["ap_diff"]
+    assert lo <= hi
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bootstrap"):
+        run_eval.main([
+            "--num-scenes", "2", "--batch", "2", "--num-points", "256",
+            "--num-seeds", "16", "--num-classes", "3", "--preset", "tiny",
+            "--ab-fps-segments", "1",
+        ])
+    with pytest.raises(ValueError, match="incompatible"):
+        run_eval.main([
+            "--num-scenes", "2", "--batch", "2", "--num-points", "256",
+            "--num-seeds", "16", "--num-classes", "3", "--preset", "tiny",
+            "--ab-fps-segments", "1", "--bootstrap", "4",
+            "--point-sharded",
+        ])
