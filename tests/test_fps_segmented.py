@@ -355,3 +355,39 @@ def test_eligible_fps_segments_rule():
     assert eligible_fps_segments(8, 1024, 8191) == 1  # N not divisible
     assert eligible_fps_segments(8, 1023, 8192) == 1  # npoint not divisible
     assert eligible_fps_segments(1, 1024, 8192) == 1
+
+
+def test_fps_spatial_seeds_are_density_adaptive():
+    """The property that made spatial seg8 the flagship default
+    (AP-better than exact, STATUS.md round-4): equal-point-count Morton
+    tiles are geometrically small exactly where the scene is dense (on
+    instances), so the interleaved seed prefix allocates seeds by
+    density. On synthetic-style scenes (dense instance clusters + sparse
+    uniform background, shuffled layout) the spatial seed prefix must
+    (a) land a higher fraction of seeds on instance points than exact
+    greedy FPS (which chases the sparse background/extremes), and
+    (b) seed every instance."""
+    rng = np.random.default_rng(7)
+    from gspn_tpu.data import synthetic
+
+    on_exact, on_spatial, miss_spatial = [], [], 0
+    for _ in range(4):
+        b = synthetic.scene_batch(rng, 1, n_points=2048, max_instances=6)
+        xyz = jnp.asarray(b["xyz"])
+        valid = jnp.asarray(b["valid"])
+        inst = np.asarray(b["inst_label"])[0]
+        exact = np.asarray(
+            ops.farthest_point_sample(256, xyz, valid, impl="xla")
+        )[0, :64]
+        spat = np.asarray(
+            ops.farthest_point_sample(
+                256, xyz, valid, impl="xla", segments=8,
+                segment_mode="spatial",
+            )
+        )[0, :64]
+        on_exact.append((inst[exact] > 0).mean())
+        on_spatial.append((inst[spat] > 0).mean())
+        seeded = set(np.unique(inst[spat][inst[spat] > 0]))
+        miss_spatial += len(set(np.unique(inst[inst > 0])) - seeded)
+    assert np.mean(on_spatial) > np.mean(on_exact), (on_spatial, on_exact)
+    assert miss_spatial == 0
