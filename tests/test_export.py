@@ -57,6 +57,38 @@ def test_export_roundtrip_bit_identical(rng, tmp_path):
         )
 
 
+def test_export_spatial_segfps_roundtrip(rng, tmp_path):
+    """The flagship preset's spatial segmented FPS (in-op lax.sort) must
+    survive jax.export serialization bit-identically — the AOT artifact
+    bakes the sort + chains + permutation mapping."""
+    import dataclasses
+
+    from gspn_tpu.models.presets import set_pipeline_fps_segments
+
+    cfg = set_pipeline_fps_segments(
+        dataclasses.replace(TINY, num_seeds=16), 2, "spatial"
+    )
+    batch = _batch(rng)
+    variables = init_pipeline_variables(cfg, jax.random.PRNGKey(0), N)
+    key = jax.random.PRNGKey(1)
+    live = jax.jit(make_inference_fn(cfg))(
+        variables, batch["xyz"], None, batch["valid"], key
+    )
+    exported = export_inference(cfg, variables, N, batch_size=B)
+    path = save_artifact(tmp_path / "sp.gspnx", exported, cfg)
+    loaded, manifest = load_artifact(path)
+    saved_rpn = manifest["pipeline_config"]["rpointnet"]
+    assert saved_rpn["fps_segment_mode"] == "spatial"
+    assert saved_rpn["fps_segments"] == 2
+    preds = loaded.call(variables, batch["xyz"], batch["valid"], key)
+    for name in ("masks", "scores", "classes", "boxes", "valid"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(preds, name)),
+            np.asarray(getattr(live, name)),
+            err_msg=name,
+        )
+
+
 def test_export_rejects_wrong_shape(rng, tmp_path):
     variables = init_pipeline_variables(TINY, jax.random.PRNGKey(0), N)
     exported = export_inference(TINY, variables, N, batch_size=B)
