@@ -308,10 +308,14 @@ def main():
     metric = "instance_seg_inference_points_per_sec_per_chip"
     if args.dtype != "f32":
         metric += f"_{args.dtype}"
-    if args.fps_segments is not None and args.fps_segments != 1:
-        metric += f"_segfps{args.fps_segments}"
-        if args.fps_segment_mode != "contiguous":
-            metric += f"_{args.fps_segment_mode}"
+    # derive the suffix from the MEASURED config, not from whether flags
+    # were typed: the preset default is seg8-spatial since r4, and the
+    # metric key must identify the program so cross-round value_per_probe
+    # comparisons stay like-for-like (bare key == exact-FPS records)
+    if cfg.gspn.fps_segments != 1:
+        metric += f"_segfps{cfg.gspn.fps_segments}"
+        if cfg.gspn.fps_segment_mode != "contiguous":
+            metric += f"_{cfg.gspn.fps_segment_mode}"
     print(
         json.dumps(
             {

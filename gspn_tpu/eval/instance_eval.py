@@ -49,6 +49,62 @@ def _mask_iou(pred_mask: np.ndarray, gt_mask: np.ndarray) -> float:
     return float(inter) / float(union) if union > 0 else 0.0
 
 
+@dataclasses.dataclass
+class _SceneClassStats:
+    """One (scene, class)'s overlap-threshold-independent matching inputs:
+    nothing else about the scene is consulted during matching, so
+    resampling scenes (bootstrap) can resample THESE instead of re-running
+    every ``_mask_iou`` per replicate (a ~n_boot x eval speedup)."""
+
+    n_gt: int
+    scores: list[float]  # this class's predictions, scene order
+    iou: np.ndarray  # (P, n_gt) IoU vs each kept GT instance
+    vfrac: list[float]  # per-pred void fraction (incl. small-GT void)
+
+
+def _scene_class_stats(
+    pred: ScenePredictions, gt: SceneGT, cls: int, min_region_size: int
+) -> _SceneClassStats:
+    void = (
+        gt.void_mask.copy()
+        if gt.void_mask is not None
+        else np.zeros_like(gt.inst_label, bool)
+    )
+    masks = []
+    for iid, icls in gt.inst_class.items():
+        if icls == cls and iid > 0:
+            m = gt.inst_label == iid
+            if min_region_size > 0 and m.sum() < min_region_size:
+                void |= m
+            else:
+                masks.append(m)
+    sel = np.where(pred.classes == cls)[0]
+    scores = [float(pred.scores[pi]) for pi in sel]
+    iou = np.zeros((len(sel), len(masks)))
+    vfrac = []
+    for a, pi in enumerate(sel):
+        pm = pred.masks[pi]
+        for j, gm in enumerate(masks):
+            iou[a, j] = _mask_iou(pm, gm)
+        size = int(pm.sum())
+        vfrac.append(float((pm & void).sum()) / size if size else 0.0)
+    return _SceneClassStats(
+        n_gt=len(masks), scores=scores, iou=iou, vfrac=vfrac
+    )
+
+
+def _compute_stats(
+    predictions, ground_truths, class_ids, min_region_size
+) -> list[dict[int, _SceneClassStats]]:
+    return [
+        {
+            cls: _scene_class_stats(pred, gt, cls, min_region_size)
+            for cls in class_ids
+        }
+        for pred, gt in zip(predictions, ground_truths, strict=True)
+    ]
+
+
 def _average_precision(tp: np.ndarray, fp: np.ndarray, n_gt: int) -> float:
     """All-point interpolated AP (precision envelope), the standard used by
     the ScanNet evaluator."""
@@ -77,6 +133,7 @@ def evaluate_instances(
     min_region_size: int = 0,
     void_forgive: bool = False,
     match: str = "greedy",
+    _stats: list[dict[int, _SceneClassStats]] | None = None,
 ) -> dict:
     """AP per class per overlap, plus the benchmark summary numbers.
 
@@ -114,104 +171,72 @@ def evaluate_instances(
     all_overlaps = np.unique(
         np.concatenate([overlaps if overlaps is not None else OVERLAPS_AP, [0.25, 0.5]])
     )
+    # per-(scene, class) matching inputs — IoU matrices, void fractions,
+    # kept-GT counts. Everything below consumes ONLY these, so callers
+    # that resample scenes (bootstrap_ci / bootstrap_diff) precompute them
+    # once and pass resampled lists via ``_stats`` instead of paying the
+    # full mask-IoU cost per replicate.
+    if _stats is None:
+        _stats = _compute_stats(
+            predictions, ground_truths, class_ids, min_region_size
+        )
     # ap_table[class][overlap] = AP
     ap_table: dict[int, dict[float, float]] = {c: {} for c in class_ids}
 
     for cls in class_ids:
-        # gather per-scene GT masks of this class; small instances are
-        # excluded and added to the scene's void (forgiveness) region
-        scene_gt_masks = []
-        scene_void = []
-        n_gt = 0
-        for gt in ground_truths:
-            masks = []
-            void = (
-                gt.void_mask.copy()
-                if gt.void_mask is not None
-                else np.zeros_like(gt.inst_label, bool)
-            )
-            for iid, icls in gt.inst_class.items():
-                if icls == cls and iid > 0:
-                    m = gt.inst_label == iid
-                    if min_region_size > 0 and m.sum() < min_region_size:
-                        void |= m
-                    else:
-                        masks.append(m)
-            scene_gt_masks.append(masks)
-            scene_void.append(void)
-            n_gt += len(masks)
-
-        # gather predictions of this class across scenes
-        entries = []  # (score, scene_idx, pred_idx)
-        for si, pred in enumerate(predictions):
-            sel = np.where(pred.classes == cls)[0]
-            for pi in sel:
-                entries.append((float(pred.scores[pi]), si, int(pi)))
-        entries.sort(key=lambda e: -e[0])
+        st = [s[cls] for s in _stats]
+        n_gt = sum(x.n_gt for x in st)
 
         if match == "per_gt":
-            # official rule: per-scene pred lists + IoU matrices, computed
-            # once per class, consumed per overlap threshold below
-            scene_preds: list[list[tuple[float, np.ndarray]]] = [
-                [] for _ in predictions
+            # official rule: per-scene score-descending pred lists (the
+            # stable sort matches the old global-sort-then-bucket order)
+            orders = [
+                np.argsort(
+                    -np.asarray(x.scores, dtype=np.float64), kind="stable"
+                )
+                for x in st
             ]
-            for sc, si, pi in entries:
-                scene_preds[si].append((sc, predictions[si].masks[pi]))
-            scene_iou = []
-            for si, plist in enumerate(scene_preds):
-                mat = np.zeros((len(plist), len(scene_gt_masks[si])))
-                for a, (_, pm) in enumerate(plist):
-                    for j, gm in enumerate(scene_gt_masks[si]):
-                        mat[a, j] = _mask_iou(pm, gm)
-                scene_iou.append(mat)
             for ov in all_overlaps:
                 y_true: list[int] = []
                 y_score: list[float] = []
-                for si, plist in enumerate(scene_preds):
-                    iou = scene_iou[si]
-                    used = np.zeros(len(plist), bool)
-                    for j in range(len(scene_gt_masks[si])):
+                for si, x in enumerate(st):
+                    order = orders[si]
+                    iou = x.iou[order] if len(order) else x.iou
+                    scs = [x.scores[a] for a in order]
+                    vfr = [x.vfrac[a] for a in order]
+                    used = np.zeros(len(order), bool)
+                    for j in range(x.n_gt):
                         above = [
                             a
-                            for a in range(len(plist))
+                            for a in range(len(order))
                             if not used[a] and iou[a, j] > ov
                         ]
                         if not above:
                             continue  # hard false negative (counted via n_gt)
-                        # plist is score-descending, so above[0] is the
+                        # the list is score-descending, so above[0] is the
                         # max-confidence candidate: it becomes the TP and
                         # is the ONLY one marked matched (official rule);
                         # lower-confidence duplicates are FPs at their own
                         # confidence but stay available for later GTs.
                         y_true.append(1)
-                        y_score.append(plist[above[0]][0])
+                        y_score.append(scs[above[0]])
                         used[above[0]] = True
                         for a in above[1:]:
                             y_true.append(0)
-                            y_score.append(plist[a][0])
+                            y_score.append(scs[a])
                     # remaining unmatched preds: the official found_gt
                     # re-check — a pred with any above-threshold overlap
                     # was already appended as a duplicate FP in the GT
                     # loop, so only overlap-free preds are counted here
-                    for a in range(len(plist)):
+                    for a in range(len(order)):
                         if used[a]:
                             continue
-                        if any(
-                            iou[a, j] > ov
-                            for j in range(len(scene_gt_masks[si]))
-                        ):
+                        if any(iou[a, j] > ov for j in range(x.n_gt)):
                             continue  # duplicate FP, already appended
-                        sc, pm = plist[a]
-                        if void_forgive:
-                            size = int(pm.sum())
-                            if size > 0:
-                                vfrac = float(
-                                    (pm & scene_void[si]).sum()
-                                ) / size
-                                if vfrac > ov:
-                                    continue  # ignored
+                        if void_forgive and vfr[a] > ov:
+                            continue  # ignored
                         y_true.append(0)
-                        y_score.append(sc)
+                        y_score.append(scs[a])
                 order = np.argsort(-np.asarray(y_score, dtype=np.float64), kind="stable")
                 yt = np.asarray(y_true)[order] if len(y_true) else np.zeros(0)
                 ap_table[cls][float(ov)] = _average_precision(
@@ -219,34 +244,28 @@ def evaluate_instances(
                 )
             continue
 
-        # greedy (score-descending) matching. IoUs don't depend on the
-        # matched state, so the per-entry IoU row (and the void fraction)
-        # is computed ONCE per class and reused across all overlap
-        # thresholds — exact, just hoisted out of the per-overlap loop.
-        entry_iou = []  # per entry: IoU against each GT of its scene
-        entry_vfrac = []
-        for _, si, pi in entries:
-            pm = predictions[si].masks[pi]
-            entry_iou.append(
-                np.array([_mask_iou(pm, gm) for gm in scene_gt_masks[si]])
-            )
-            size = int(pm.sum())
-            entry_vfrac.append(
-                float((pm & scene_void[si]).sum()) / size if size else 0.0
-            )
+        # greedy (score-descending) matching across scenes: the stable
+        # sort reproduces the original insertion order (scene, pred) on
+        # score ties. IoUs don't depend on the matched state, so the
+        # per-entry IoU row and void fraction come straight from _stats.
+        entries = []  # (score, scene_idx, row_in_stats)
+        for si, x in enumerate(st):
+            for a, sc in enumerate(x.scores):
+                entries.append((sc, si, a))
+        entries.sort(key=lambda e: -e[0])
         for ov in all_overlaps:
-            matched = [np.zeros(len(m), bool) for m in scene_gt_masks]
+            matched = [np.zeros(x.n_gt, bool) for x in st]
             tp = np.zeros(len(entries))
             fp = np.zeros(len(entries))
-            for ei, (_, si, pi) in enumerate(entries):
-                ious = np.where(matched[si], -1.0, entry_iou[ei])
+            for ei, (_, si, a) in enumerate(entries):
+                ious = np.where(matched[si], -1.0, st[si].iou[a])
                 best_j = int(np.argmax(ious)) if len(ious) else -1
                 best_iou = float(ious[best_j]) if best_j >= 0 else 0.0
                 if best_j >= 0 and best_iou > ov:  # official strict >
                     matched[si][best_j] = True
                     tp[ei] = 1
                 else:
-                    if void_forgive and entry_vfrac[ei] > ov:
+                    if void_forgive and st[si].vfrac[a] > ov:
                         continue  # ignored: neither TP nor FP
                     fp[ei] = 1
             ap_table[cls][float(ov)] = _average_precision(tp, fp, n_gt)
@@ -302,6 +321,13 @@ def bootstrap_ci(
         nan = (float("nan"), float("nan"))
         return {"ap": nan, "ap_50": nan, "ap_25": nan}
     rng = np.random.default_rng(seed)
+    # mask IoUs / void fractions are per-scene and threshold-independent:
+    # compute them ONCE and resample the stats, not the masks (~n_boot x
+    # cheaper; bit-identical results)
+    stats = _compute_stats(
+        predictions, ground_truths, class_ids,
+        eval_kwargs.get("min_region_size", 0),
+    )
     samples: dict[str, list[float]] = {"ap": [], "ap_50": [], "ap_25": []}
     for _ in range(n_boot):
         idx = rng.integers(0, n, size=n)
@@ -309,6 +335,7 @@ def bootstrap_ci(
             [predictions[i] for i in idx],
             [ground_truths[i] for i in idx],
             class_ids,
+            _stats=[stats[i] for i in idx],
             **eval_kwargs,
         )
         for k in samples:
@@ -358,15 +385,20 @@ def bootstrap_diff(
         nan = (float("nan"), float("nan"))
         return {f"{k}_diff": nan for k in ("ap", "ap_50", "ap_25")}
     rng = np.random.default_rng(seed)
+    mrs = eval_kwargs.get("min_region_size", 0)
+    stats_a = _compute_stats(predictions_a, ground_truths, class_ids, mrs)
+    stats_b = _compute_stats(predictions_b, ground_truths, class_ids, mrs)
     samples: dict[str, list[float]] = {"ap": [], "ap_50": [], "ap_25": []}
     for _ in range(n_boot):
         idx = rng.integers(0, n, size=n)
         gts = [ground_truths[i] for i in idx]
         res_a = evaluate_instances(
-            [predictions_a[i] for i in idx], gts, class_ids, **eval_kwargs
+            [predictions_a[i] for i in idx], gts, class_ids,
+            _stats=[stats_a[i] for i in idx], **eval_kwargs,
         )
         res_b = evaluate_instances(
-            [predictions_b[i] for i in idx], gts, class_ids, **eval_kwargs
+            [predictions_b[i] for i in idx], gts, class_ids,
+            _stats=[stats_b[i] for i in idx], **eval_kwargs,
         )
         for k in samples:
             samples[k].append(res_a[k] - res_b[k])

@@ -57,6 +57,16 @@ _UNROLL = 4  # extraction steps per loop iteration (over-steps are no-ops)
 _TM = 128  # query rows per grid program (see _fused_pallas)
 _SORT_Q = True  # Morton-sort queries before the kernel (see _fused_pallas;
 #                 measured: sa1 5.62 -> 4.99 ms standalone on v5e)
+def _check_extract(extract):
+    """Shared validation for the extract= knob (also used by box_group):
+    an unknown string must fail loudly, not silently run the serial
+    schedule — A/B sweeps decide defaults from these arms."""
+    if extract is not None and extract not in ("serial", "rank"):
+        raise ValueError(
+            f"extract must be serial|rank, got {extract!r}"
+        )
+
+
 _EXTRACT = "serial"  # "serial" | "rank" — see _fused_kernel. Both are
 #                     oracle-exact first-K; "rank" replaces the serial
 #                     min->select->invalidate latency chain with
@@ -504,6 +514,7 @@ def query_ball_group_multi(
     grouped_local (B,M,K,3) f32)`` where ``grouped_local`` ==
     ``group_point(xyz1, idx) - xyz2[:, :, None, :]`` bit-for-bit.
     """
+    _check_extract(extract)
     choice = resolve_impl(impl)
     if choice == "pallas" and xyz1.shape[1] <= 131072:
         if interpret is None:
@@ -535,6 +546,7 @@ def query_ball_multi_v2(
 ):
     """Index-only variant on the chunked early-exit kernel (drop-in for
     ``query_ball_point_multi``; same return convention)."""
+    _check_extract(extract)
     choice = resolve_impl(impl)
     if choice == "pallas" and xyz1.shape[1] <= 131072:
         if interpret is None:

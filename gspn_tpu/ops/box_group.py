@@ -400,6 +400,7 @@ def query_box_group(
     convention (idx 0 / point 0 centered on the box). ``local`` equals
     ``xyz1[idx] - (lo + hi) / 2`` bit-for-bit.
     """
+    _bg._check_extract(extract)
     choice = resolve_impl(impl)
     if choice == "pallas" and xyz1.shape[1] <= 131072:
         if interpret is None:

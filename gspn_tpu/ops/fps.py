@@ -430,8 +430,11 @@ def farthest_point_sample(
         first-K grouping). See ``_fps_segmented``.
 
     Returns:
-      ``(B, npoint) int32`` indices into N. ``out[:, 0]`` is the first valid
-      index (0 when unmasked), matching the reference's fixed seed.
+      ``(B, npoint) int32`` indices into N. With ``segments == 1``,
+      ``out[:, 0]`` is the first valid index (0 when unmasked), matching
+      the reference's fixed seed; segmented modes seed each chain at its
+      segment's first point instead ("spatial": the Morton-lowest valid
+      point), so column 0 is chain 0's seed, not index 0.
     """
     if xyz.ndim != 3 or xyz.shape[-1] != 3:
         raise ValueError(f"xyz must be (B, N, 3), got {xyz.shape}")

@@ -63,6 +63,19 @@ def make_dp_train_step(
             "loss_fn that already psums its normalizers/BN stats over the "
             "axis can opt in with `loss_fn.dp_axis = axis`."
         )
+    mesh_size = mesh.shape[axis]
+    loss_size = getattr(loss_fn, "dp_size", None)
+    if loss_size is not None and loss_size != mesh_size:
+        # a mismatch is SILENTLY wrong, not a shape error: dp_slice's
+        # dynamic_slice clamps out-of-range starts, so extra shards would
+        # quietly reuse the last noise slice and break the full-batch
+        # exactness contract — fail loudly instead
+        raise ValueError(
+            f"loss_fn was built with dp_size={loss_size} but the mesh's "
+            f"'{axis}' axis has {mesh_size} devices; full-batch-shaped "
+            "rng draws would be mis-sliced. Rebuild the loss with "
+            f"dp_size={mesh_size}."
+        )
 
     _model_bn_momentum = resolve_bn_momentum(model_bn_momentum)
 

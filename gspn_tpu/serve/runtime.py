@@ -52,7 +52,9 @@ import numpy as np
 from gspn_tpu.serve.export import load_artifact
 
 _MAGIC = b"GSPN"
-_VERSION = 1
+_VERSION = 2  # v2: response frames echo the request's _rid (clients
+#               REQUIRE the echo, so mixing v1/v2 peers must fail at the
+#               version check, not with a misleading correlation error)
 _HEADER = struct.Struct(">4sBI")  # magic, version, payload length
 # absolute frame ceiling (responses to large chunked batches can be
 # big); SERVERS additionally cap requests at a size derived from the

@@ -170,6 +170,7 @@ def make_gspn_loss_fn(
         return total, (metrics, mutated["batch_stats"])
 
     loss_fn.dp_axis = dp_axis
+    loss_fn.dp_size = dp_size
     return loss_fn
 
 
@@ -331,6 +332,7 @@ def make_rpointnet_loss_fn(
         return total, (metrics, mutated["batch_stats"])
 
     loss_fn.dp_axis = dp_axis
+    loss_fn.dp_size = dp_size
     return loss_fn
 
 

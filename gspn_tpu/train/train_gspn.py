@@ -76,9 +76,13 @@ def add_common_args(p: argparse.ArgumentParser):
                         "cuts FPS latency ~S-fold where sizes are eligible")
     p.add_argument("--fps-segment-mode",
                    choices=["contiguous", "strided", "spatial"],
-                   default="contiguous",
-                   help="segment partition when --fps-segments > 1 "
-                        "('spatial' = Morton-sort inside the FPS op)")
+                   default="spatial",
+                   help="segment partition when --fps-segments > 1. "
+                        "Default 'spatial' (Morton-sort inside the FPS "
+                        "op) matches run_eval/bench/export — the only "
+                        "mode measured AP-safe on raw layouts; "
+                        "'contiguous' on unsorted data was the "
+                        "round-4 AP falsifier")
 
 
 def parse_args(argv=None):

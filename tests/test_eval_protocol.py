@@ -358,3 +358,33 @@ def test_bootstrap_diff_paired():
         preds_a, preds_b, gts, class_ids, n_boot=40, seed=0
     )
     assert diff == diff2
+
+
+def test_stats_precompute_path_is_bit_identical():
+    """The bootstrap fast path (resampling precomputed _SceneClassStats)
+    must reproduce the plain evaluate_instances bit-for-bit on resampled
+    scene multisets, across both matchers and the official knobs."""
+    rng = np.random.default_rng(21)
+    preds, gts = _random_scenes(rng, n_scenes=7)
+    class_ids = sorted({c for gt in gts for c in gt.inst_class.values()})
+    for match in ("greedy", "per_gt"):
+        for mrs, vf in ((0, False), (12, True)):
+            stats = ie._compute_stats(preds, gts, class_ids, mrs)
+            for trial in range(4):
+                idx = rng.integers(0, len(preds), size=len(preds))
+                kw = dict(
+                    min_region_size=mrs, void_forgive=vf, match=match
+                )
+                plain = ie.evaluate_instances(
+                    [preds[i] for i in idx], [gts[i] for i in idx],
+                    class_ids, **kw,
+                )
+                fast = ie.evaluate_instances(
+                    [preds[i] for i in idx], [gts[i] for i in idx],
+                    class_ids, _stats=[stats[i] for i in idx], **kw,
+                )
+                for k in ("ap", "ap_50", "ap_25"):
+                    assert (
+                        plain[k] == fast[k]
+                        or (np.isnan(plain[k]) and np.isnan(fast[k]))
+                    ), (match, mrs, vf, trial, k, plain[k], fast[k])

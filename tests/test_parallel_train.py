@@ -201,6 +201,14 @@ def test_dp_requires_dp_aware_loss(rng):
     model, _ = init_state(batch, tx)
     with np.testing.assert_raises(ValueError):
         make_dp_train_step(make_gspn_loss_fn(model, S, G), tx, mesh)
+    # dp_size mismatching the mesh is SILENTLY wrong if allowed through
+    # (dp_slice's dynamic_slice clamps, duplicating noise slices) — it
+    # must be rejected just as loudly as a non-DP loss
+    with np.testing.assert_raises(ValueError):
+        make_dp_train_step(
+            make_gspn_loss_fn(model, S, G, dp_axis="data", dp_size=4),
+            tx, mesh,
+        )
 
 
 def test_checkpoint_roundtrip(tmp_path, rng):
