@@ -26,6 +26,11 @@ Whole-scene regime (VERDICT r3 #5): the same line carries
 ``value_wholescene`` (+ its roofline fraction) — fused inference on one
 masked 65,536-point scene, the survey's long-context axis, where the
 box_group and segmented-FPS wins actually live.
+
+Training regime (VERDICT r4 #7): ``value_train`` /
+``value_train_per_probe`` — the stage-2 (R-PointNet) jitted train step at
+the BASELINE config-5 shape (B=4 × N=4096), trainer defaults (exact FPS),
+so training perf is driver-visible round-over-round like inference.
 """
 
 from __future__ import annotations
@@ -159,6 +164,10 @@ def main():
                     default="spatial",
                     help="segment partition when --fps-segments > 1 "
                          "('spatial' = Morton-sort inside the FPS op)")
+    ap.add_argument("--sa1-fps-segments", type=int, default=None,
+                    help="decoupled backbone-sa1 FPS pass at this segment "
+                         "count (models/pipeline.py::_split_fps_indices). "
+                         "Default: the preset's choice (0 = shared pass)")
     args = ap.parse_args()
 
     done = _install_tpu_watchdog()
@@ -188,6 +197,12 @@ def main():
 
         cfg = set_pipeline_fps_segments(
             cfg, args.fps_segments, args.fps_segment_mode
+        )
+    if args.sa1_fps_segments is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, sa1_fps_segments=args.sa1_fps_segments
         )
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(rng, B, n_points=N, max_instances=8)
@@ -298,6 +313,75 @@ def main():
     )
     ws_pps = WS_B * WS_N / ws_dt
 
+    # ---- training regime (VERDICT r4 #7): stage-2 train-step throughput
+    # at the BASELINE config-5 shape (B=4 x N=4096), measured on the
+    # TRAINER-default configuration (exact FPS — trainers keep seg1; the
+    # --fps-segments flag above only affects the inference arms) so the
+    # number tracks what `train_rpointnet` actually runs.
+    import dataclasses as _dc
+
+    import optax
+
+    from gspn_tpu.data.instances import gather_seed_instances
+    from gspn_tpu.models.gspn import GSPN
+    from gspn_tpu.models.rpointnet import RPointNet
+    from gspn_tpu.train.steps import (
+        TrainState,
+        make_gspn_loss_fn,
+        make_rpointnet_loss_fn,
+        make_train_step,
+    )
+
+    TR_B, TR_N, TR_SEEDS, TR_GT = 4, 4096, 64, 256
+    tr_gcfg = _dc.replace(cfg.gspn, fps_segments=1)
+    tr_rcfg = _dc.replace(cfg.rpointnet, fps_segments=1)
+    tr_batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic.scene_batch(
+            np.random.default_rng(0), TR_B, n_points=TR_N, max_instances=8
+        ).items()
+    }
+    tr_key = jax.random.PRNGKey(0)
+    tx = optax.adam(1e-3)
+    tr_gmodel = GSPN(tr_gcfg)
+    tr_seed_idx = ops.farthest_point_sample(
+        TR_SEEDS, tr_batch["xyz"], tr_batch["valid"]
+    )
+    tr_gp, tr_gv, _, _ = gather_seed_instances(
+        tr_batch["xyz"], tr_batch["inst_label"], tr_seed_idx, TR_GT
+    )
+    tr_gvars = tr_gmodel.init(
+        tr_key, tr_batch["xyz"], tr_seed_idx, valid=tr_batch["valid"],
+        gt_points=tr_gp, gt_valid=tr_gv, z_rng=tr_key, train=False,
+    )
+    tr_gstate = TrainState.create(tr_gvars, tx)
+    tr_rmodel = RPointNet(tr_rcfg)
+    tr_boxes = jnp.tile(
+        jnp.asarray([0.0, 0.0, 0.0, 1.0, 1.0, 1.0], jnp.float32),
+        (TR_B, TR_SEEDS, 1),
+    )
+    tr_rvars = tr_rmodel.init(
+        tr_key, tr_batch["xyz"], tr_boxes, valid=tr_batch["valid"],
+        train=False,
+    )
+    tr_rstate = TrainState.create(tr_rvars, tx)
+    frozen = (
+        tr_gmodel,
+        {"params": tr_gstate.params, "batch_stats": tr_gstate.batch_stats},
+        TR_SEEDS,
+    )
+    tr_step = make_train_step(
+        make_rpointnet_loss_fn(
+            tr_rmodel, max_instances=16, frozen_gspn=frozen
+        ),
+        tx,
+    )
+    train_dt = time_fn(
+        tr_step, tr_rstate, tr_batch, tr_key,
+        iters=10, warmup=3, batches=4, stat="median",
+    )
+    train_pps = TR_B * TR_N / train_dt
+
     # absolute anchor: analytic roofline model vs this measurement
     from gspn_tpu.utils.roofline import pipeline_cost
 
@@ -316,6 +400,8 @@ def main():
         metric += f"_segfps{cfg.gspn.fps_segments}"
         if cfg.gspn.fps_segment_mode != "contiguous":
             metric += f"_{cfg.gspn.fps_segment_mode}"
+    if cfg.sa1_fps_segments:
+        metric += f"_sa1seg{cfg.sa1_fps_segments}"
     print(
         json.dumps(
             {
@@ -337,6 +423,11 @@ def main():
                 "roofline_frac_wholescene": round(
                     ws_rep["frac_of_roof"], 4
                 ),
+                # training regime (stage-2 step, B=4 x N=4096, trainer
+                # defaults: exact FPS) — probe-normalize like value
+                "value_train": round(train_pps, 1),
+                "train_step_ms": round(train_dt * 1e3, 3),
+                "value_train_per_probe": round(train_pps * probe_dt, 1),
             }
         )
     )

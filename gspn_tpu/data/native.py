@@ -188,27 +188,57 @@ def compact_instance_ids(inst: np.ndarray) -> tuple[np.ndarray, int]:
     return inst, int(k)
 
 
-def morton_sort_batch(batch: dict) -> dict:
+# Per-point batch keys morton_sort_batch co-sorts (everything indexed by
+# the point axis MUST be listed here, or scenes would desynchronize).
+_PER_POINT_KEYS = frozenset(
+    {"xyz", "valid", "features", "inst_label", "sem_label"}
+)
+
+
+def morton_sort_batch(batch: dict, extra_per_point: tuple[str, ...] = ()) -> dict:
     """Reorder every scene's per-point arrays into Morton (z-order)
     spatial order — valid points z-ordered first, padding rows kept at
     the end. The host-side twin of the device ``ops.morton`` pair, used
     to give data sources without a prep-time ``morton=`` knob (synthetic
     scenes, object datasets) the spatially-coherent layout the chunked
     kernels' AABB pruning and ``fps_segments``'s contiguous segment mode
-    expect. Per-point keys are detected by shape (leading dims (B, N))."""
+    expect.
+
+    Per-point keys come from an explicit allowlist (``_PER_POINT_KEYS``
+    plus ``extra_per_point``), NOT shape sniffing: a scene-level array
+    whose leading dims coincidentally equal (B, N) must not be silently
+    co-sorted, and a per-point key stored as a list must not silently
+    skip sorting (ADVICE r4). An unlisted key that nevertheless LOOKS
+    per-point raises so the mistake is caught at the first batch."""
     xyz = np.asarray(batch["xyz"])
     b, n = xyz.shape[:2]
     valid = np.asarray(
         batch.get("valid", np.ones((b, n), bool)), bool
     )
-    per_point = [
-        k
-        for k, v in batch.items()
-        if hasattr(v, "shape")
-        and np.ndim(v) >= 2
-        and v.shape[0] == b
-        and v.shape[1] == n
-    ]
+    allowed = _PER_POINT_KEYS | set(extra_per_point)
+    per_point = []
+    for k, v in batch.items():
+        looks_per_point = (
+            hasattr(v, "shape")
+            and np.ndim(v) >= 2
+            and v.shape[0] == b
+            and v.shape[1] == n
+        )
+        if k in allowed:
+            arr = np.asarray(batch[k])
+            if not (arr.ndim >= 2 and arr.shape[:2] == (b, n)):
+                raise ValueError(
+                    f"morton_sort_batch: per-point key {k!r} must be a "
+                    f"(B={b}, N={n}, ...) array, got shape {arr.shape}"
+                )
+            per_point.append(k)
+        elif looks_per_point:
+            raise ValueError(
+                f"morton_sort_batch: key {k!r} has per-point shape "
+                f"{tuple(np.shape(v))} but is not in the per-point "
+                "allowlist; pass it via extra_per_point= (to co-sort) or "
+                "rename it if it is scene-level"
+            )
     out = {k: (np.array(v, copy=True) if k in per_point else v)
            for k, v in batch.items()}
     for i in range(b):

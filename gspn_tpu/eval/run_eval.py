@@ -91,6 +91,13 @@ def parse_args(argv=None):
                         "'spatial' Morton-sorts inside the FPS op "
                         "(spatially tiled segments on any layout; the "
                         "measured round-4 recommendation and default)")
+    p.add_argument("--sa1-fps-segments", type=int, default=None,
+                   help="decoupled backbone-sa1 FPS pass at this segment "
+                        "count (>0; the shared seeds+sa1 pass is capped "
+                        "at S=8 by the 64-seed eligibility floor, while "
+                        "sa1's 1024-pick chain is eligible up to S=128 — "
+                        "models/pipeline.py). Default: the preset's "
+                        "choice (0 = shared pass)")
     p.add_argument("--ab-fps-segments", type=int, default=None,
                    help="paired A/B: ALSO run a second arm with this "
                         "fps_segments on the SAME scenes and report the "
@@ -104,6 +111,11 @@ def parse_args(argv=None):
                    choices=["contiguous", "strided", "spatial"],
                    default="spatial",
                    help="segment partition for the --ab-fps-segments arm")
+    p.add_argument("--ab-sa1-fps-segments", type=int, default=None,
+                   help="paired A/B on the decoupled-sa1 knob: the B arm "
+                        "additionally sets sa1_fps_segments to this value "
+                        "(combinable with --ab-fps-segments; same "
+                        "bootstrap requirements)")
     p.add_argument("--box-percentile", type=float, default=0.0,
                    help=">0: outlier-trimmed proposal box extents")
     p.add_argument("--score-thresh", type=float, default=0.05)
@@ -143,6 +155,17 @@ def parse_args(argv=None):
                 f"--batch {args.batch} with --artifact/--data-rows "
                 "(fixed-shape serving paths cannot take a ragged final "
                 "batch)")
+    # A/B flag combinations fail HERE, before checkpoints restore and the
+    # main arm compiles — a mis-typed CLI must not cost minutes on real
+    # hardware before erroring (ADVICE r4).
+    if args.ab_fps_segments is not None or args.ab_sa1_fps_segments is not None:
+        if args.point_sharded or args.artifact:
+            p.error("--ab-fps-segments/--ab-sa1-fps-segments run a second "
+                    "live-traced arm and are incompatible with "
+                    "--point-sharded / --artifact")
+        if args.bootstrap <= 0:
+            p.error("--ab-fps-segments/--ab-sa1-fps-segments report a "
+                    "paired bootstrap CI; pass --bootstrap N (e.g. 100)")
     return args
 
 
@@ -220,6 +243,12 @@ def main(argv=None):
 
         cfg = set_pipeline_fps_segments(
             cfg, args.fps_segments, args.fps_segment_mode
+        )
+    if args.sa1_fps_segments is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, sa1_fps_segments=args.sa1_fps_segments
         )
     key = jax.random.PRNGKey(args.seed)
 
@@ -336,22 +365,21 @@ def main(argv=None):
     else:
         infer = jax.jit(make_inference_fn(cfg))
     infer_b = None
-    if args.ab_fps_segments is not None:
-        if args.point_sharded or args.artifact:
-            raise ValueError(
-                "--ab-fps-segments runs a second live-traced arm and is "
-                "incompatible with --point-sharded / --artifact"
-            )
-        if args.bootstrap <= 0:
-            raise ValueError(
-                "--ab-fps-segments reports a paired bootstrap CI; pass "
-                "--bootstrap N (e.g. 100)"
-            )
+    if args.ab_fps_segments is not None or args.ab_sa1_fps_segments is not None:
+        # flag-combination validation already ran in parse_args
+        import dataclasses
+
         from gspn_tpu.models.presets import set_pipeline_fps_segments
 
-        cfg_b = set_pipeline_fps_segments(
-            cfg, args.ab_fps_segments, args.ab_fps_segment_mode
-        )
+        cfg_b = cfg
+        if args.ab_fps_segments is not None:
+            cfg_b = set_pipeline_fps_segments(
+                cfg_b, args.ab_fps_segments, args.ab_fps_segment_mode
+            )
+        if args.ab_sa1_fps_segments is not None:
+            cfg_b = dataclasses.replace(
+                cfg_b, sa1_fps_segments=args.ab_sa1_fps_segments
+            )
         infer_b = jax.jit(make_inference_fn(cfg_b))
     all_preds_b = []
     all_preds, all_gts = [], []

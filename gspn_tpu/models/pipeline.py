@@ -33,6 +33,17 @@ class PipelineConfig:
     box_percentile: float = 0.0  # >0: outlier-trimmed proposal extents
     mask_project: str = "1nn"  # "1nn" (reference rule) | "3nn" (inverse-
     #                             distance-weighted logits, smoother masks)
+    # Decoupled backbone-sa1 FPS segment count. 0 (default) = sa1 shares
+    # ONE sampling pass with the proposal seeds (prefix consistency —
+    # shared_fps_indices). >0 = sa1 gets its OWN segmented pass at this
+    # count: the shared pass is capped at S=8 by the 64-seed consumer's
+    # eligibility floor, while sa1's 1024-pick chain — the actual
+    # sequential cost — is eligible up to S=128. The reference computes
+    # separate FPS per module anyway (SURVEY.md §3.4 vs §3.1), so sharing
+    # is a perf trick, not a semantics requirement; when both passes are
+    # spatial-mode the Morton sort is still paid only once
+    # (ops.spatial_sorted_view).
+    sa1_fps_segments: int = 0
 
 
 @flax.struct.dataclass
@@ -105,6 +116,8 @@ def shared_fps_indices(cfg: PipelineConfig, xyz, valid):
     and the spatially-sharded variant, which must stay bit-identical."""
     sa1_n = cfg.rpointnet.sa_layers[0].npoint
     n = xyz.shape[1]
+    if cfg.sa1_fps_segments and cfg.sa1_fps_segments != cfg.gspn.fps_segments:
+        return _split_fps_indices(cfg, xyz, valid, sa1_n, n)
     if (
         cfg.gspn.ops_impl == cfg.rpointnet.ops_impl
         and cfg.gspn.fps_segments == cfg.rpointnet.fps_segments
@@ -126,6 +139,51 @@ def shared_fps_indices(cfg: PipelineConfig, xyz, valid):
         segment_mode=cfg.gspn.fps_segment_mode,
     )
     return seed_idx, None  # backbone samples with its own impl/segments
+
+
+def _split_fps_indices(cfg: PipelineConfig, xyz, valid, sa1_n: int, n: int):
+    """Decoupled seeds/sa1 FPS passes (``cfg.sa1_fps_segments > 0``).
+
+    Seeds sample at the gspn config's segment count (capped by the
+    64-seed eligibility floor); sa1 samples at its own, much higher,
+    segment count. When both passes are spatial-mode on the same impl,
+    ONE Morton sort (ops.spatial_sorted_view) feeds both as contiguous
+    chains over the sorted view — bit-identical to two independent
+    ``segment_mode="spatial"`` calls, at one sort instead of two."""
+    seed_segs = ops.eligible_fps_segments(
+        cfg.gspn.fps_segments, cfg.num_seeds, n
+    )
+    sa1_segs = ops.eligible_fps_segments(cfg.sa1_fps_segments, sa1_n, n)
+    mode_g = cfg.gspn.fps_segment_mode
+    mode_r = cfg.rpointnet.fps_segment_mode
+    if (
+        cfg.gspn.ops_impl == cfg.rpointnet.ops_impl
+        and mode_g == mode_r == "spatial"
+        and seed_segs > 1
+        and sa1_segs > 1
+    ):
+        sxyz, svalid, sidx = ops.spatial_sorted_view(xyz, valid)
+        seed_pos = ops.farthest_point_sample(
+            cfg.num_seeds, sxyz, svalid, impl=cfg.gspn.ops_impl,
+            segments=seed_segs, segment_mode="contiguous",
+        )
+        sa1_pos = ops.farthest_point_sample(
+            sa1_n, sxyz, svalid, impl=cfg.rpointnet.ops_impl,
+            segments=sa1_segs, segment_mode="contiguous",
+        )
+        return (
+            jnp.take_along_axis(sidx, seed_pos, axis=1),
+            jnp.take_along_axis(sidx, sa1_pos, axis=1),
+        )
+    seed_idx = ops.farthest_point_sample(
+        cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl,
+        segments=seed_segs, segment_mode=mode_g,
+    )
+    sa1_idx = ops.farthest_point_sample(
+        sa1_n, xyz, valid, impl=cfg.rpointnet.ops_impl,
+        segments=sa1_segs, segment_mode=mode_r,
+    )
+    return seed_idx, sa1_idx
 
 
 def make_inference_fn(cfg: PipelineConfig):

@@ -117,6 +117,7 @@ def scannet_pipeline(
     dtype: Any = jnp.float32,
     fps_segments: int = 8,
     fps_segment_mode: str = "spatial",
+    sa1_fps_segments: int = 0,
 ) -> PipelineConfig:
     """Flagship scene-level inference preset.
 
@@ -146,4 +147,8 @@ def scannet_pipeline(
             fps_segment_mode=fps_segment_mode,
         ),
         num_seeds=num_seeds,
+        # >0: decoupled backbone-sa1 FPS pass at this segment count (the
+        # shared pass is seed-capped at S=8; sa1's 1024-pick chain is
+        # eligible far higher — models/pipeline.py::_split_fps_indices)
+        sa1_fps_segments=sa1_fps_segments,
     )

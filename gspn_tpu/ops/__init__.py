@@ -14,6 +14,7 @@ from gspn_tpu.ops.fps import (
     eligible_fps_segments,
     farthest_point_sample,
     shared_eligible_fps_segments,
+    spatial_sorted_view,
 )
 from gspn_tpu.ops.grouping import gather_point, group_point, knn_point
 from gspn_tpu.ops.interpolate import (
@@ -34,6 +35,7 @@ __all__ = [
     "eligible_fps_segments",
     "farthest_point_sample",
     "shared_eligible_fps_segments",
+    "spatial_sorted_view",
     "gather_point",
     "group_point",
     "knn_point",

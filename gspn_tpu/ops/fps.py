@@ -294,27 +294,7 @@ def _fps_segmented(
             f"{segment_mode}"
         )
     if segment_mode == "spatial":
-        from gspn_tpu.ops import morton as _morton
-
-        codes = _morton.morton_codes(xyz, valid)
-        iota = jnp.broadcast_to(
-            jnp.arange(n, dtype=jnp.int32), (b, n)
-        )
-        operands = [
-            codes,
-            xyz[..., 0].astype(jnp.float32),
-            xyz[..., 1].astype(jnp.float32),
-            xyz[..., 2].astype(jnp.float32),
-            iota,
-        ]
-        if valid is not None:
-            operands.append(valid.astype(jnp.float32))
-        srt = jax.lax.sort(
-            tuple(operands), dimension=1, num_keys=1, is_stable=True
-        )
-        sxyz = jnp.stack(srt[1:4], axis=-1)
-        sidx = srt[4]
-        svalid = None if valid is None else srt[5] > 0.5
+        sxyz, svalid, sidx = spatial_sorted_view(xyz, valid)
         pos = _fps_segmented(
             npoint, sxyz, svalid, segments, "contiguous", impl, interpret
         )
@@ -357,6 +337,42 @@ def _fps_segmented(
         )
     # round-robin interleave: column c holds chain c%S's pick c//S
     return gidx.transpose(0, 2, 1).reshape(b, npoint)
+
+
+def spatial_sorted_view(xyz: jax.Array, valid: jax.Array | None):
+    """The Morton-sorted view the ``segment_mode="spatial"`` FPS runs on:
+    one stable ``lax.sort`` co-sorting (codes, x, y, z, index, validity).
+    Returns ``(sxyz (B,N,3), svalid (B,N) bool|None, sidx (B,N) i32)``
+    where ``sidx`` maps sorted positions back to raw-layout indices
+    (``raw_idx = take_along_axis(sidx, pos, 1)``).
+
+    Public so callers that run SEVERAL spatial-segmented FPS passes over
+    the same scene (e.g. the pipeline's decoupled seeds/sa1 passes —
+    models/pipeline.py) can pay for the sort once and run
+    ``segment_mode="contiguous"`` chains over this view; the composition
+    is bit-identical to per-pass ``segment_mode="spatial"`` calls.
+    Invalid points carry the sentinel Morton code and sort last."""
+    b, n, _ = xyz.shape
+    from gspn_tpu.ops import morton as _morton
+
+    codes = _morton.morton_codes(xyz, valid)
+    iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+    operands = [
+        codes,
+        xyz[..., 0].astype(jnp.float32),
+        xyz[..., 1].astype(jnp.float32),
+        xyz[..., 2].astype(jnp.float32),
+        iota,
+    ]
+    if valid is not None:
+        operands.append(valid.astype(jnp.float32))
+    srt = jax.lax.sort(
+        tuple(operands), dimension=1, num_keys=1, is_stable=True
+    )
+    sxyz = jnp.stack(srt[1:4], axis=-1)
+    sidx = srt[4]
+    svalid = None if valid is None else srt[5] > 0.5
+    return sxyz, svalid, sidx
 
 
 def shared_eligible_fps_segments(

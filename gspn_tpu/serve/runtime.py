@@ -425,7 +425,8 @@ class Client:
     """
 
     def __init__(self, address, timeout: float | None = 300.0):
-        self._dead = False
+        self._dead = False  # poisoned by a timeout/transport error
+        self._closed = False  # user-initiated close()
         self._next_rid = 0
         if isinstance(address, (str, pathlib.Path)):
             self._sock = socket.socket(socket.AF_UNIX)
@@ -443,6 +444,8 @@ class Client:
         features: np.ndarray | None = None,
         seed: int = 0,
     ) -> dict[str, np.ndarray]:
+        if self._closed and not self._dead:
+            raise ConnectionError("client is closed; create a new Client")
         if self._dead:
             raise ConnectionError(
                 "client connection is closed after a previous "
@@ -461,13 +464,13 @@ class Client:
             _send_msg(self._sock, req)
             resp = _recv_msg(self._sock)
         except (OSError, ValueError):
-            self.close()
+            self._poison()
             raise
         if resp is None:
-            self.close()
+            self._poison()
             raise ConnectionError("server closed the connection")
         if int(resp.pop("_rid", -1)) != rid:
-            self.close()
+            self._poison()
             raise ConnectionError(
                 "response correlation id mismatch (stale frame from an "
                 "aborted request); create a new Client"
@@ -476,8 +479,15 @@ class Client:
             raise RuntimeError(f"server error: {resp['error']}")
         return resp
 
-    def close(self):
+    def _poison(self):
+        """Timeout/transport error: the stream may still hold a late
+        response, so the connection must never be reused."""
         self._dead = True
+        self._closed = True
+        self._sock.close()
+
+    def close(self):
+        self._closed = True
         self._sock.close()
 
     def __enter__(self):

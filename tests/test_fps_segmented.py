@@ -324,6 +324,100 @@ def test_shared_fps_indices_with_segments():
     )
 
 
+def test_split_fps_indices_spatial_shared_sort():
+    """Decoupled seeds/sa1 passes (cfg.sa1_fps_segments > 0) with both
+    modes spatial: the shared-sort fast path must be BIT-identical to two
+    independent segment_mode="spatial" calls at each consumer's own
+    segment count."""
+    import dataclasses
+
+    from gspn_tpu.models.pipeline import shared_fps_indices
+    from gspn_tpu.models.presets import set_pipeline_fps_segments
+    from tests.test_pipeline_eval import TINY
+
+    cfg = set_pipeline_fps_segments(
+        dataclasses.replace(TINY, num_seeds=16), 2, "spatial"
+    )
+    cfg = dataclasses.replace(cfg, sa1_fps_segments=4)
+    rng = np.random.default_rng(11)
+    xyz = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    valid = jnp.asarray(rng.random((2, 256)) > 0.1)
+    seed_idx, sa1_idx = shared_fps_indices(cfg, xyz, valid)
+    want_seed = ops.farthest_point_sample(
+        16, xyz, valid, impl="xla", segments=2, segment_mode="spatial"
+    )
+    want_sa1 = ops.farthest_point_sample(
+        32, xyz, valid, impl="xla", segments=4, segment_mode="spatial"
+    )
+    np.testing.assert_array_equal(np.asarray(seed_idx), np.asarray(want_seed))
+    np.testing.assert_array_equal(np.asarray(sa1_idx), np.asarray(want_sa1))
+    # unmasked too
+    seed_u, sa1_u = shared_fps_indices(cfg, xyz, None)
+    np.testing.assert_array_equal(
+        np.asarray(seed_u),
+        np.asarray(ops.farthest_point_sample(
+            16, xyz, impl="xla", segments=2, segment_mode="spatial")),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sa1_u),
+        np.asarray(ops.farthest_point_sample(
+            32, xyz, impl="xla", segments=4, segment_mode="spatial")),
+    )
+
+
+def test_split_fps_indices_nonspatial_fallback():
+    """Split passes with a non-spatial mode skip the shared sort and just
+    run two independent passes at each consumer's segment count; an
+    ineligible sa1 count falls back to exact for sa1 only."""
+    import dataclasses
+
+    from gspn_tpu.models.pipeline import shared_fps_indices
+    from gspn_tpu.models.presets import set_pipeline_fps_segments
+    from tests.test_pipeline_eval import TINY
+
+    cfg = set_pipeline_fps_segments(
+        dataclasses.replace(TINY, num_seeds=16), 2, "strided"
+    )
+    cfg = dataclasses.replace(cfg, sa1_fps_segments=4)
+    rng = np.random.default_rng(12)
+    xyz = jnp.asarray(rng.normal(size=(2, 256, 3)).astype(np.float32))
+    seed_idx, sa1_idx = shared_fps_indices(cfg, xyz, None)
+    np.testing.assert_array_equal(
+        np.asarray(seed_idx),
+        np.asarray(ops.farthest_point_sample(
+            16, xyz, impl="xla", segments=2, segment_mode="strided")),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(sa1_idx),
+        np.asarray(ops.farthest_point_sample(
+            32, xyz, impl="xla", segments=4, segment_mode="strided")),
+    )
+    # sa1 count ineligible (needs >= 8 picks/chain): sa1 pass is exact
+    cfg_ix = dataclasses.replace(cfg, sa1_fps_segments=8)
+    _, sa1_exact = shared_fps_indices(cfg_ix, xyz, None)
+    np.testing.assert_array_equal(
+        np.asarray(sa1_exact),
+        np.asarray(ops.farthest_point_sample(32, xyz, impl="xla")),
+    )
+
+
+def test_split_fps_pipeline_runs_and_point_sharded_matches():
+    """The fused pipeline runs with the decoupled sa1 pass, and the fully
+    point-sharded inference stays equal to single-device (both call
+    shared_fps_indices, so the split must ride sharding unchanged)."""
+    import dataclasses
+
+    from gspn_tpu.models.presets import set_pipeline_fps_segments
+    from tests.test_pipeline_eval import TINY
+    from tests.test_scene_sharded import _compare
+
+    cfg = set_pipeline_fps_segments(
+        dataclasses.replace(TINY, num_seeds=16), 2, "spatial"
+    )
+    cfg = dataclasses.replace(cfg, sa1_fps_segments=4)
+    _compare(cfg, 2, 256, np.random.default_rng(13))
+
+
 def test_point_sharded_inference_with_segments():
     """Segmented FPS rides the fully point-sharded inference unchanged:
     sharded == single-device with fps_segments enabled."""

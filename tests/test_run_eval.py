@@ -230,16 +230,22 @@ def test_run_eval_paired_ab(tmp_path):
 
     import pytest
 
-    with pytest.raises(ValueError, match="bootstrap"):
-        run_eval.main([
+    # flag-combination errors fail at parse time (argparse SystemExit),
+    # BEFORE checkpoint restore / arm compile (ADVICE r4)
+    err = io.StringIO()
+    with pytest.raises(SystemExit), contextlib.redirect_stderr(err):
+        run_eval.parse_args([
             "--num-scenes", "2", "--batch", "2", "--num-points", "256",
             "--num-seeds", "16", "--num-classes", "3", "--preset", "tiny",
             "--ab-fps-segments", "1",
         ])
-    with pytest.raises(ValueError, match="incompatible"):
-        run_eval.main([
+    assert "bootstrap" in err.getvalue()
+    err = io.StringIO()
+    with pytest.raises(SystemExit), contextlib.redirect_stderr(err):
+        run_eval.parse_args([
             "--num-scenes", "2", "--batch", "2", "--num-points", "256",
             "--num-seeds", "16", "--num-classes", "3", "--preset", "tiny",
             "--ab-fps-segments", "1", "--bootstrap", "4",
             "--point-sharded",
         ])
+    assert "incompatible" in err.getvalue()
