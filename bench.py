@@ -168,6 +168,12 @@ def main():
                     help="decoupled backbone-sa1 FPS pass at this segment "
                          "count (models/pipeline.py::_split_fps_indices). "
                          "Default: the preset's choice (0 = shared pass)")
+    ap.add_argument("--group-select", choices=["first", "strided"],
+                    default=None,
+                    help="neighborhood/RoI K-selection (ops/ball_query.py;"
+                         " 'strided' = the subsample-robust mode for "
+                         "spatially-coherent layouts). Default: preset "
+                         "('first')")
     args = ap.parse_args()
 
     done = _install_tpu_watchdog()
@@ -204,6 +210,10 @@ def main():
         cfg = dataclasses.replace(
             cfg, sa1_fps_segments=args.sa1_fps_segments
         )
+    if args.group_select is not None:
+        from gspn_tpu.models.presets import set_pipeline_group_select
+
+        cfg = set_pipeline_group_select(cfg, args.group_select)
     rng = np.random.default_rng(0)
     batch = synthetic.scene_batch(rng, B, n_points=N, max_instances=8)
     xyz = jnp.asarray(batch["xyz"])
@@ -402,6 +412,8 @@ def main():
             metric += f"_{cfg.gspn.fps_segment_mode}"
     if cfg.sa1_fps_segments:
         metric += f"_sa1seg{cfg.sa1_fps_segments}"
+    if cfg.gspn.group_select != "first":
+        metric += f"_{cfg.gspn.group_select}sel"
     print(
         json.dumps(
             {

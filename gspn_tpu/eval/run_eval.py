@@ -98,6 +98,15 @@ def parse_args(argv=None):
                         "sa1's 1024-pick chain is eligible up to S=128 — "
                         "models/pipeline.py). Default: the preset's "
                         "choice (0 = shared pass)")
+    p.add_argument("--group-select", choices=["first", "strided"],
+                   default=None,
+                   help="neighborhood/RoI K-selection: 'first' (reference "
+                        "first-K-in-input-order) or 'strided' "
+                        "(subsample-robust systematic sample — use when "
+                        "the raw point layout is spatially coherent, "
+                        "e.g. Morton-sorted or scan-ordered; the eval "
+                        "warns when its layout probe detects this). "
+                        "Default: the preset's choice ('first')")
     p.add_argument("--ab-fps-segments", type=int, default=None,
                    help="paired A/B: ALSO run a second arm with this "
                         "fps_segments on the SAME scenes and report the "
@@ -115,6 +124,12 @@ def parse_args(argv=None):
                    help="paired A/B on the decoupled-sa1 knob: the B arm "
                         "additionally sets sa1_fps_segments to this value "
                         "(combinable with --ab-fps-segments; same "
+                        "bootstrap requirements)")
+    p.add_argument("--ab-group-select", choices=["first", "strided"],
+                   default=None,
+                   help="paired A/B on the K-selection knob: the B arm "
+                        "additionally sets group_select to this value "
+                        "(combinable with the other --ab-* knobs; same "
                         "bootstrap requirements)")
     p.add_argument("--box-percentile", type=float, default=0.0,
                    help=">0: outlier-trimmed proposal box extents")
@@ -158,14 +173,16 @@ def parse_args(argv=None):
     # A/B flag combinations fail HERE, before checkpoints restore and the
     # main arm compiles — a mis-typed CLI must not cost minutes on real
     # hardware before erroring (ADVICE r4).
-    if args.ab_fps_segments is not None or args.ab_sa1_fps_segments is not None:
+    ab_on = (args.ab_fps_segments is not None
+             or args.ab_sa1_fps_segments is not None
+             or args.ab_group_select is not None)
+    if ab_on:
         if args.point_sharded or args.artifact:
-            p.error("--ab-fps-segments/--ab-sa1-fps-segments run a second "
-                    "live-traced arm and are incompatible with "
-                    "--point-sharded / --artifact")
+            p.error("the --ab-* knobs run a second live-traced arm and "
+                    "are incompatible with --point-sharded / --artifact")
         if args.bootstrap <= 0:
-            p.error("--ab-fps-segments/--ab-sa1-fps-segments report a "
-                    "paired bootstrap CI; pass --bootstrap N (e.g. 100)")
+            p.error("the --ab-* knobs report a paired bootstrap CI; pass "
+                    "--bootstrap N (e.g. 100)")
     return args
 
 
@@ -250,6 +267,10 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, sa1_fps_segments=args.sa1_fps_segments
         )
+    if args.group_select is not None:
+        from gspn_tpu.models.presets import set_pipeline_group_select
+
+        cfg = set_pipeline_group_select(cfg, args.group_select)
     key = jax.random.PRNGKey(args.seed)
 
     # data source — each batches() call creates its own rng so probing
@@ -295,6 +316,19 @@ def main(argv=None):
 
     # variables: init fresh, then restore each stage with a checkpoint
     first = next(iter(batches()))
+    # layout-bias probe (round-4 mechanism study): warn when the raw
+    # point layout is spatially coherent and first-K grouping is in its
+    # measured pathology regime — unless strided selection is already on
+    if cfg.gspn.group_select == "first":
+        from gspn_tpu.data.layout_probe import warn_if_layout_biased
+
+        mid = min(1, len(cfg.gspn.context_radii) - 1)
+        warn_if_layout_biased(
+            first,
+            radius=float(cfg.gspn.context_radii[mid]),
+            k=int(cfg.gspn.context_nsample[mid]),
+            where="eval data",
+        )
     n = first["xyz"].shape[1]
     f = first.get("features")
     fdim = 0 if f is None else int(f.shape[-1])
@@ -365,11 +399,16 @@ def main(argv=None):
     else:
         infer = jax.jit(make_inference_fn(cfg))
     infer_b = None
-    if args.ab_fps_segments is not None or args.ab_sa1_fps_segments is not None:
+    if (args.ab_fps_segments is not None
+            or args.ab_sa1_fps_segments is not None
+            or args.ab_group_select is not None):
         # flag-combination validation already ran in parse_args
         import dataclasses
 
-        from gspn_tpu.models.presets import set_pipeline_fps_segments
+        from gspn_tpu.models.presets import (
+            set_pipeline_fps_segments,
+            set_pipeline_group_select,
+        )
 
         cfg_b = cfg
         if args.ab_fps_segments is not None:
@@ -380,6 +419,8 @@ def main(argv=None):
             cfg_b = dataclasses.replace(
                 cfg_b, sa1_fps_segments=args.ab_sa1_fps_segments
             )
+        if args.ab_group_select is not None:
+            cfg_b = set_pipeline_group_select(cfg_b, args.ab_group_select)
         infer_b = jax.jit(make_inference_fn(cfg_b))
     all_preds_b = []
     all_preds, all_gts = [], []

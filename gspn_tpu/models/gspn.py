@@ -71,6 +71,11 @@ class GSPNConfig:
     # ("spatial" Morton-sorts inside the op — spatially tiled segments on
     # any data layout; see ops/fps.py)
     fps_segment_mode: str = "contiguous"
+    # context-crop K-selection: "first" (reference first-K-in-input-order;
+    # default) | "strided" (subsample-robust systematic sample of the full
+    # candidate list — for spatially-coherent raw layouts where first-K
+    # collapses a ball's crop to its z-lowest corner; ops/ball_query.py)
+    group_select: str = "first"
     dtype: Any = jnp.float32
 
 
@@ -165,6 +170,7 @@ class GSPN(nn.Module):
             seed_xyz,
             valid,
             impl=cfg.ops_impl,
+            select=cfg.group_select,
         )
         crops = []  # per scale: (B, S, K_s, 3 [+F])
         for idx, cnt, local in per_scale:

@@ -110,6 +110,24 @@ def set_pipeline_fps_segments(
     )
 
 
+def set_pipeline_group_select(cfg: PipelineConfig, select: str) -> PipelineConfig:
+    """Switch BOTH stages' neighborhood K-selection: "first" (reference
+    first-K-in-input-order) or "strided" (subsample-robust systematic
+    sample — for spatially-coherent raw layouts, e.g. Morton-sorted or
+    scan-ordered exports, where first-K collapses a ball's sample to its
+    z-lowest corner; see ops/ball_query.py and the STATUS.md round-4
+    mechanism study). Applies to GSPN context crops, backbone SA
+    neighborhoods and RoI in-box sampling. Exposed as ``--group-select``
+    in the trainers, run_eval and bench."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg,
+        gspn=dataclasses.replace(cfg.gspn, group_select=select),
+        rpointnet=dataclasses.replace(cfg.rpointnet, group_select=select),
+    )
+
+
 def scannet_pipeline(
     num_seeds: int = 64,
     num_classes: int = 18,
@@ -118,6 +136,7 @@ def scannet_pipeline(
     fps_segments: int = 8,
     fps_segment_mode: str = "spatial",
     sa1_fps_segments: int = 0,
+    group_select: str = "first",
 ) -> PipelineConfig:
     """Flagship scene-level inference preset.
 
@@ -140,11 +159,13 @@ def scannet_pipeline(
             dtype=dtype,
             fps_segments=fps_segments,
             fps_segment_mode=fps_segment_mode,
+            group_select=group_select,
         ),
         rpointnet=RPointNetConfig(
             num_classes=num_classes, feature_dim=feature_dim, dtype=dtype,
             fps_segments=fps_segments,
             fps_segment_mode=fps_segment_mode,
+            group_select=group_select,
         ),
         num_seeds=num_seeds,
         # >0: decoupled backbone-sa1 FPS pass at this segment count (the

@@ -101,6 +101,9 @@ class RPointNetConfig:
     # how fps_segments partitions the scene: contiguous|strided|spatial
     # ("spatial" Morton-sorts inside the op; see ops/fps.py)
     fps_segment_mode: str = "contiguous"
+    # SA-neighborhood + RoI in-box K-selection: "first" (reference) |
+    # "strided" (subsample-robust; see GSPNConfig.group_select)
+    group_select: str = "first"
     dtype: Any = jnp.float32
 
 
@@ -142,6 +145,7 @@ class Backbone(nn.Module):
                 ops_impl=cfg.ops_impl,
                 fps_segments=cfg.fps_segments,
                 fps_segment_mode=cfg.fps_segment_mode,
+                select=cfg.group_select,
                 dtype=cfg.dtype,
                 name=f"sa{i + 1}",
             )(xs[-1], fs[-1], vs[-1], train, sa1_fps_idx if i == 0 else None)
@@ -171,7 +175,8 @@ class Backbone(nn.Module):
 # ---------------------------------------------------------------------------
 
 
-def point_roi_align(xyz, boxes, s: int, valid=None, rng=None, impl="auto"):
+def point_roi_align(xyz, boxes, s: int, valid=None, rng=None, impl="auto",
+                    select="first"):
     """Sample ``s`` scene points inside each box (cycling with replacement
     when the box holds fewer), canonicalize to the RoI frame.
 
@@ -192,7 +197,9 @@ def point_roi_align(xyz, boxes, s: int, valid=None, rng=None, impl="auto"):
     if rng is None:
         from gspn_tpu.ops.box_group import query_box_group
 
-        first_s, cnt, local = query_box_group(boxes, s, xyz, valid, impl=impl)
+        first_s, cnt, local = query_box_group(
+            boxes, s, xyz, valid, impl=impl, select=select
+        )
         # cycle with replacement: slot k -> hit[k mod cnt]; cnt is capped
         # at s, which leaves the wrap unchanged (k < s <= uncapped cnt
         # implies k mod cnt == k in both conventions)
@@ -402,7 +409,7 @@ class RPointNet(nn.Module):
             )
             idx, canon, roi_valid, _ = point_roi_align(
                 xyz, boxes, cfg.roi_samples, valid, rng=rng,
-                impl=cfg.ops_impl,
+                impl=cfg.ops_impl, select=cfg.group_select,
             )
             roi_feats = gather_roi_features(feat, idx)
             b, r, s = idx.shape

@@ -38,6 +38,7 @@ def sample_and_group(
     fps_idx=None,
     fps_segments: int = 1,
     fps_segment_mode: str = "contiguous",
+    select: str = "first",
 ):
     """FPS -> gather -> ball query (or kNN) -> group -> center local coords.
 
@@ -70,7 +71,8 @@ def sample_and_group(
     else:
         # fused kernel: query + xyz gather + center subtract in one pass
         ((idx, pts_cnt, grouped_xyz),) = ops.query_ball_group_multi(
-            (radius,), (nsample,), xyz, new_xyz, valid, impl=impl
+            (radius,), (nsample,), xyz, new_xyz, valid, impl=impl,
+            select=select,
         )
     if points is not None:
         grouped_points = ops.group_point(points, idx)
@@ -119,6 +121,9 @@ class PointNetSAModule(nn.Module):
     ops_impl: str = "auto"
     fps_segments: int = 1  # >1: segmented FPS approximation where eligible
     fps_segment_mode: str = "contiguous"  # contiguous|strided|spatial
+    # neighborhood K-selection: "first" (reference first-K-in-input-order)
+    # | "strided" (subsample-robust systematic sample; ops/ball_query.py)
+    select: str = "first"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -151,6 +156,7 @@ class PointNetSAModule(nn.Module):
                 fps_idx,
                 self.fps_segments,
                 self.fps_segment_mode,
+                self.select,
             )
             # Parity note: groups are self-padded by replicate-first, so no
             # group mask is needed for "max" (the reference relies on this).
@@ -212,6 +218,7 @@ class PointNetSAModuleMSG(nn.Module):
     ops_impl: str = "auto"
     fps_segments: int = 1  # >1: segmented FPS approximation where eligible
     fps_segment_mode: str = "contiguous"  # contiguous|strided|spatial
+    select: str = "first"  # neighborhood K-selection (see PointNetSAModule)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -229,7 +236,7 @@ class PointNetSAModuleMSG(nn.Module):
         # one fused distance pass serves every concentric scale
         per_scale = ops.query_ball_group_multi(
             self.radius_list, self.nsample_list, xyz, new_xyz, valid,
-            impl=self.ops_impl,
+            impl=self.ops_impl, select=self.select,
         )
         for s, ((idx, cnt, grouped_xyz), mlp) in enumerate(
             zip(per_scale, self.mlp_list, strict=True)

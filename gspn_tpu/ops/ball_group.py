@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gspn_tpu.ops.ball_query import _ball_query_xla
+from gspn_tpu.ops.ball_query import _ball_query_xla, _check_select
 from gspn_tpu.ops.common import resolve_impl, round_up
 from gspn_tpu.ops.grouping import group_point
 
@@ -325,6 +325,243 @@ def _fused_kernel(
     # (padded grid rows beyond M are sliced away by the caller)
 
 
+def _fused_kernel_strided(
+    rel_ref,  # (B*NT, 1 + nchunks) i32 SMEM (see _fused_kernel)
+    xyz_ref,  # (1, 8, Npad): rows 0..2 = x,y,z; row 3 = validity
+    q_ref,  # (1, TM, 128): lanes 0..2 = query coords, lane 3 = validity
+    *out_refs,
+    nsamples,
+    r2s,
+    n: int,
+    nc: int,
+    nw: int,
+    ntiles: int,
+    with_coords: bool,
+    unroll: int,
+    pred: str = "ball",
+):
+    """``select="strided"`` schedule: systematic sample of the FULL
+    ascending candidate list (``hits[floor(j*total/K)]`` once a query has
+    ``total > K`` candidates; identical to first-K otherwise). The
+    subsample-robust grouping mode for spatially-coherent raw layouts,
+    where first-K-in-index-order collapses a ball's sample to its
+    z-order-lowest corner (STATUS.md round-4 mechanism study).
+
+    Selection positions depend on ``total``, so the scan is TWO-phase
+    (both AABB-pruned to relevant chunks, neither early-exits):
+      1. count: distance passes only -> per-scale totals. Cheap — no
+         per-hit extraction work.
+      2. extract: per window, arrival ranks via one roll-doubling prefix
+         sum; the slots whose global target rank falls in this window
+         (a dynamic ``[jlo, jhi)`` range, K steps TOTAL across all
+         windows — same step count as the serial first-K chain) are
+         filled with INDEPENDENT masked-sum selects (no dependent
+         min->invalidate chain, like the r4 "rank" mode).
+
+    ``pred="box"`` (used by ops/box_group.py): the hit predicate is
+    per-query box containment (q lanes 0-2 lo corner, 3-5 hi corner,
+    lane 6 validity) and grouped coordinates are centered on the BOX
+    CENTER; single scale (``nsamples=(s,)``, ``r2s`` unused).
+    """
+    tm = q_ref.shape[1]
+    nscales = len(nsamples)
+    per = 5 if with_coords else 2
+
+    if pred == "box":
+        qlo = [q_ref[0, :, d : d + 1] for d in range(3)]  # (TM, 1) each
+        qhi = [q_ref[0, :, 3 + d : 4 + d] for d in range(3)]
+        qvalid = q_ref[0, :, 6:7] > 0.0  # (TM, 1)
+        # output frame origin (box center); reuse the qx/qy/qz names
+        qx = (qlo[0] + qhi[0]) * 0.5
+        qy = (qlo[1] + qhi[1]) * 0.5
+        qz = (qlo[2] + qhi[2]) * 0.5
+    else:
+        qx = q_ref[0, :, 0:1]
+        qy = q_ref[0, :, 1:2]
+        qz = q_ref[0, :, 2:3]
+        qvalid = q_ref[0, :, 3:4] > 0.0  # (TM, 1)
+
+    kpads = [out_refs[per * s].shape[2] for s in range(nscales)]
+    kiotas = [
+        jax.lax.broadcasted_iota(jnp.int32, (tm, kp), 1) for kp in kpads
+    ]
+    wiota = jax.lax.broadcasted_iota(jnp.int32, (tm, nw), 1)
+
+    row = pl.program_id(0) * ntiles + pl.program_id(1)
+    nrel = rel_ref[row, 0]
+
+    def window_hits(off, w):
+        base = off + w * nw
+        x_w = xyz_ref[0, 0:1, pl.ds(base, nw)]  # (1, NW)
+        y_w = xyz_ref[0, 1:2, pl.ds(base, nw)]
+        z_w = xyz_ref[0, 2:3, pl.ds(base, nw)]
+        vm_w = xyz_ref[0, 3:4, pl.ds(base, nw)] > 0.0
+        if pred == "box":
+            inb = vm_w
+            for lo, hi, p_w in zip(qlo, qhi, (x_w, y_w, z_w), strict=True):
+                inb = jnp.logical_and(
+                    inb, jnp.logical_and(p_w >= lo, p_w <= hi)
+                )
+
+            def hit_for(s, inb=inb):
+                return inb
+        else:
+            dx = qx - x_w
+            dy = qy - y_w
+            dz = qz - z_w
+            d2 = dx * dx + dy * dy + dz * dz  # (TM, NW)
+
+            def hit_for(s, d2=d2, vm_w=vm_w):
+                return jnp.logical_and(d2 < r2s[s], vm_w)
+
+        return base, x_w, y_w, z_w, hit_for
+
+    # ---- phase 1: per-scale candidate totals (uncapped)
+    def count_body(i, totals):
+        off = rel_ref[row, 1 + i] * nc
+        for w in range(nc // nw):
+            _, _, _, _, hit_for = window_hits(off, w)
+            # padded query rows contribute no hits (no extraction work)
+            totals = tuple(
+                totals[s]
+                + jnp.sum(
+                    jnp.logical_and(hit_for(s), qvalid).astype(jnp.int32),
+                    axis=1,
+                    keepdims=True,
+                )
+                for s in range(nscales)
+            )
+        return totals
+
+    totals0 = tuple(jnp.zeros((tm, 1), jnp.int32) for _ in range(nscales))
+    totals = jax.lax.fori_loop(0, nrel, count_body, totals0)
+
+    # ---- phase 2: targeted extraction
+    def init_scale(s):
+        kp = kpads[s]
+        cum = jnp.zeros((tm, 1), jnp.int32)
+        acc_i = jnp.zeros((tm, kp), jnp.int32)
+        if with_coords:
+            zero = jnp.zeros((tm, kp), jnp.float32)
+            return (cum, acc_i, zero, zero, zero)
+        return (cum, acc_i)
+
+    def body(i, state):
+        off = rel_ref[row, 1 + i] * nc
+        st = state
+        for w in range(nc // nw):
+            base, x_w, y_w, z_w, hit_for = window_hits(off, w)
+            new_st = []
+            for s in range(nscales):
+                k = nsamples[s]
+                total = totals[s]
+                st_s = st[s]
+                cum = st_s[0]
+                hit_w = jnp.logical_and(hit_for(s), qvalid)
+                hit_i = hit_w.astype(jnp.int32)
+                hw = jnp.sum(hit_i, axis=1, keepdims=True)
+                ranks = _lane_prefix_sum_exclusive(hit_i, wiota, nw)
+                tot = jnp.maximum(total, 1)
+                over = total > k
+                # slot j's target rank t(j) = floor(j*total/k) if over
+                # else j; slots landing in [cum, cum+hw):
+                jlo = jnp.where(over, (cum * k + total - 1) // tot, cum)
+                jhi = jnp.where(
+                    over, ((cum + hw) * k + total - 1) // tot, cum + hw
+                )
+                jhi = jnp.minimum(jhi, k)
+                tmax = jnp.max(jhi - jlo)
+                zf = jnp.zeros((tm, nw), jnp.float32)
+                zi = jnp.zeros((tm, nw), jnp.int32)
+
+                def step(u, st_, k=k, s=s, base=base, x_w=x_w, y_w=y_w,
+                         z_w=z_w, hit_w=hit_w, ranks=ranks, jlo=jlo,
+                         jhi=jhi, cum=cum, total=total, tot=tot, over=over,
+                         zf=zf, zi=zi):
+                    if with_coords:
+                        acc_i, ax, ay, az = st_
+                    else:
+                        (acc_i,) = st_
+                    j = jlo + u  # (TM, 1)
+                    ok = j < jhi
+                    tgt = jnp.where(over, (j * total) // k, j)
+                    sel = jnp.logical_and(hit_w, ranks == tgt - cum)
+                    li = jnp.sum(
+                        jnp.where(sel, wiota, zi), axis=1, keepdims=True
+                    )
+                    wk = jnp.logical_and(kiotas[s] == j, ok)
+                    acc_i = jnp.where(wk, base + li, acc_i)
+                    if with_coords:
+                        cxv = jnp.sum(
+                            jnp.where(sel, x_w, zf), axis=1, keepdims=True
+                        )
+                        cyv = jnp.sum(
+                            jnp.where(sel, y_w, zf), axis=1, keepdims=True
+                        )
+                        czv = jnp.sum(
+                            jnp.where(sel, z_w, zf), axis=1, keepdims=True
+                        )
+                        ax = jnp.where(wk, cxv, ax)
+                        ay = jnp.where(wk, cyv, ay)
+                        az = jnp.where(wk, czv, az)
+                        return acc_i, ax, ay, az
+                    return (acc_i,)
+
+                def inner(i_, st_, step=step):
+                    # unrolled; over-steps no-op via the j < jhi guard
+                    for u in range(unroll):
+                        st_ = step(i_ * unroll + u, st_)
+                    return st_
+
+                stf = jax.lax.fori_loop(
+                    0, (tmax + unroll - 1) // unroll, inner,
+                    tuple(st_s[1:]),
+                )
+                new_st.append((cum + hw,) + tuple(stf))
+            st = tuple(new_st)
+        return st
+
+    state0 = tuple(init_scale(s) for s in range(nscales))
+    state = jax.lax.fori_loop(0, nrel, body, state0)
+
+    # point 0's coordinates: the empty-row convention (idx 0 gathers them)
+    if with_coords:
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) == 0
+        zf0 = jnp.zeros((1, 128), jnp.float32)
+        x0 = jnp.sum(jnp.where(lane0, xyz_ref[0, 0:1, 0:128], zf0))
+        y0 = jnp.sum(jnp.where(lane0, xyz_ref[0, 1:2, 0:128], zf0))
+        z0 = jnp.sum(jnp.where(lane0, xyz_ref[0, 2:3, 0:128], zf0))
+
+    for s in range(nscales):
+        k, kp = nsamples[s], kpads[s]
+        kiota = kiotas[s]
+        st = state[s]
+        cnt = jnp.minimum(totals[s], k)
+        cnt = jnp.where(qvalid, cnt, 0)  # padded queries report 0
+        acc_i = st[1]
+        # replicate-first padding + zero empty rows
+        lane0k = kiota == 0
+        zi = jnp.zeros((tm, kp), jnp.int32)
+        first_i = jnp.sum(jnp.where(lane0k, acc_i, zi), axis=1, keepdims=True)
+        filled = kiota < cnt
+        acc_i = jnp.where(filled, acc_i, first_i)
+        acc_i = jnp.where(cnt > 0, acc_i, 0)
+        out_refs[per * s][0, :, :] = acc_i
+        cnt_out = jnp.broadcast_to(cnt, (tm, 128)).astype(jnp.int32)
+        out_refs[per * s + 1][0, :, :] = cnt_out
+        if with_coords:
+            zfk = jnp.zeros((tm, kp), jnp.float32)
+            for d, (acc, qd, p0) in enumerate(
+                zip(st[2:5], (qx, qy, qz), (x0, y0, z0), strict=True)
+            ):
+                first_c = jnp.sum(
+                    jnp.where(lane0k, acc, zfk), axis=1, keepdims=True
+                )
+                acc = jnp.where(filled, acc, first_c)
+                acc = jnp.where(cnt > 0, acc, p0)  # empty row: point 0
+                out_refs[per * s + 2 + d][0, :, :] = acc - qd  # local frame
+
+
 def _relevant_chunks(radii, xyz1, xyz2, valid1, nc, npad, tm, mpad):
     """Per (batch, query-tile): ascending ids of point chunks whose AABB is
     within max(radii) of the tile's AABB, plus counts. Chunks farther away
@@ -375,7 +612,7 @@ def _relevant_chunks(radii, xyz1, xyz2, valid1, nc, npad, tm, mpad):
 
 def _fused_pallas(
     radii, nsamples, xyz1, xyz2, valid1, with_coords, interpret,
-    extract=None,
+    extract=None, select="first",
 ):
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
@@ -441,19 +678,26 @@ def _fused_pallas(
         if need > 16 * 1024 * 1024
         else {}
     )
-    outs = pl.pallas_call(
-        functools.partial(
+    common = dict(
+        nsamples=tuple(int(k) for k in nsamples),
+        r2s=tuple(float(r) ** 2 for r in radii),
+        n=n,
+        nc=nc,
+        nw=nw,
+        ntiles=mpad // tm,
+        with_coords=with_coords,
+        unroll=_UNROLL,
+    )
+    if select == "strided":
+        kernel = functools.partial(_fused_kernel_strided, **common)
+    else:
+        kernel = functools.partial(
             _fused_kernel,
-            nsamples=tuple(int(k) for k in nsamples),
-            r2s=tuple(float(r) ** 2 for r in radii),
-            n=n,
-            nc=nc,
-            nw=nw,
-            ntiles=mpad // tm,
-            with_coords=with_coords,
-            unroll=_UNROLL,
             extract=extract if extract is not None else _EXTRACT,
-        ),
+            **common,
+        )
+    outs = pl.pallas_call(
+        kernel,
         grid=(b, mpad // tm),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole rel table
@@ -498,6 +742,7 @@ def query_ball_group_multi(
     impl: str = "auto",
     interpret: bool | None = None,
     extract: str | None = None,
+    select: str | None = None,
 ):
     """Fused multi-scale ball query + group + center subtract.
 
@@ -509,23 +754,30 @@ def query_ball_group_multi(
       valid1: optional (B, N) dataset validity mask.
       extract: extraction schedule, "serial" | "rank" (default: the
         module's swept ``_EXTRACT``); both are oracle-exact first-K.
+      select: "first" (default; reference first-K-in-input-order) |
+        "strided" (systematic sample of the full candidate list once
+        count > K — the subsample-robust mode for spatially-coherent
+        layouts; runs its own two-phase schedule, see
+        ``_fused_kernel_strided``; ``extract`` is ignored).
 
     Returns per scale: ``(idx (B,M,K) i32, cnt (B,M) i32,
     grouped_local (B,M,K,3) f32)`` where ``grouped_local`` ==
     ``group_point(xyz1, idx) - xyz2[:, :, None, :]`` bit-for-bit.
     """
     _check_extract(extract)
+    _check_select(select)
+    select = select or "first"
     choice = resolve_impl(impl)
     if choice == "pallas" and xyz1.shape[1] <= 131072:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         return _fused_pallas(
             radii, nsamples, xyz1, xyz2, valid1, True, interpret,
-            extract=extract,
+            extract=extract, select=select,
         )
     results = []
     for r, k in zip(radii, nsamples, strict=True):
-        idx, cnt = _ball_query_xla(r, k, xyz1, xyz2, valid1)
+        idx, cnt = _ball_query_xla(r, k, xyz1, xyz2, valid1, select=select)
         grouped = group_point(xyz1, idx) - xyz2[:, :, None, :].astype(
             jnp.float32
         )
@@ -543,19 +795,22 @@ def query_ball_multi_v2(
     impl: str = "auto",
     interpret: bool | None = None,
     extract: str | None = None,
+    select: str | None = None,
 ):
     """Index-only variant on the chunked early-exit kernel (drop-in for
     ``query_ball_point_multi``; same return convention)."""
     _check_extract(extract)
+    _check_select(select)
+    select = select or "first"
     choice = resolve_impl(impl)
     if choice == "pallas" and xyz1.shape[1] <= 131072:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         return _fused_pallas(
             radii, nsamples, xyz1, xyz2, valid1, False, interpret,
-            extract=extract,
+            extract=extract, select=select,
         )
     return [
-        _ball_query_xla(r, k, xyz1, xyz2, valid1)
+        _ball_query_xla(r, k, xyz1, xyz2, valid1, select=select)
         for r, k in zip(radii, nsamples, strict=True)
     ]

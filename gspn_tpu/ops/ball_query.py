@@ -45,13 +45,42 @@ def _finalize(idx_asc: jax.Array, cnt: jax.Array, nsample: int):
 # ---------------------------------------------------------------------------
 
 
-def _ball_query_xla(radius, nsample, xyz1, xyz2, valid1):
+def _check_select(select):
+    """Shared validation for the select= knob (also used by ball_group /
+    box_group): an unknown string must fail loudly."""
+    if select is not None and select not in ("first", "strided"):
+        raise ValueError(f"select must be first|strided, got {select!r}")
+
+
+def _strided_target_mask(hit, nsample):
+    """Refine a (B, M, N) hit mask to the ``select="strided"`` subset:
+    when a query has ``total > nsample`` candidates, keep candidate rank
+    ``floor(j * total / nsample)`` for j = 0..nsample-1 (a systematic
+    sample of the ascending candidate list — spatially unbiased when the
+    point layout is spatially coherent, where first-K collapses to the
+    ball's z-lowest corner; STATUS.md round-4 mechanism note). When
+    ``total <= nsample`` the mask is unchanged (== first-K)."""
+    hit_i = hit.astype(jnp.int32)
+    total = jnp.sum(hit_i, axis=-1, keepdims=True)  # (B, M, 1)
+    rank = jnp.cumsum(hit_i, axis=-1) - hit_i  # exclusive, (B, M, N)
+    # rank r is a target iff exists j < nsample: floor(j*total/ns) == r
+    # <=> j = ceil(r*ns/total) satisfies j*total < r*ns + ns and j < ns
+    j = (rank * nsample + total - 1) // jnp.maximum(total, 1)
+    target = jnp.logical_and(
+        j * total < rank * nsample + nsample, j < nsample
+    )
+    return jnp.logical_and(hit, jnp.logical_or(total <= nsample, target))
+
+
+def _ball_query_xla(radius, nsample, xyz1, xyz2, valid1, select="first"):
     n = xyz1.shape[-2]
     d2 = pairwise_sqdist(xyz2, xyz1)  # (B, M, N)
     hit = d2 < radius * radius
     if valid1 is not None:
         hit = jnp.logical_and(hit, valid1[..., None, :])
     cnt = jnp.minimum(jnp.sum(hit, axis=-1), nsample).astype(jnp.int32)
+    if select == "strided":
+        hit = _strided_target_mask(hit, nsample)
     pos = jnp.where(hit, jnp.arange(n, dtype=jnp.int32), n)
     # nsample smallest positions in ascending order == first-come scan order
     neg_top, _ = jax.lax.top_k(-pos, nsample)
@@ -71,8 +100,23 @@ def _ball_query_xla(radius, nsample, xyz1, xyz2, valid1):
 # ---------------------------------------------------------------------------
 
 
+def _lane_prefix_sum_exclusive(hit_i, iota, width: int):
+    """Exclusive lane-axis prefix sum via Hillis-Steele roll-doubling
+    (Mosaic has no cumsum lowering); wrapped lanes masked by ``iota``."""
+    from jax.experimental.pallas import tpu as _pltpu
+
+    s = hit_i
+    d = 1
+    while d < width:
+        r = _pltpu.roll(s, d, axis=1)
+        s = s + jnp.where(iota >= d, r, 0)
+        d *= 2
+    return s - hit_i
+
+
 def _ball_query_multi_kernel(
-    xyz1_ref, xyz2_ref, valid_ref, *out_refs, nsamples, r2s, n
+    xyz1_ref, xyz2_ref, valid_ref, *out_refs, nsamples, r2s, n,
+    select="first",
 ):
     """Like _ball_query_kernel but extracts every radius's neighborhood
     from ONE (TM, Npad) distance tile — GSPN's concentric context crops
@@ -98,11 +142,25 @@ def _ball_query_multi_kernel(
         kpad = idx_ref.shape[2]
         kiota = jax.lax.broadcasted_iota(jnp.int32, (tm, kpad), 1)
         hit = jnp.logical_and(d2 < r2, vmask)
-        pos0 = jnp.where(hit, iota, n)
         cnt = jnp.minimum(
             jnp.sum(hit.astype(jnp.int32), axis=1, keepdims=True), nsample
         )
         cnt_ref[0, :, 0:1] = cnt
+        if select == "strided":
+            # systematic sample of the candidate list (see
+            # _strided_target_mask): the whole hit mask is in-register
+            # here, so one lane prefix sum refines it directly
+            hit_i = hit.astype(jnp.int32)
+            total = jnp.sum(hit_i, axis=1, keepdims=True)
+            rank = _lane_prefix_sum_exclusive(hit_i, iota, npad)
+            j = (rank * nsample + total - 1) // jnp.maximum(total, 1)
+            target = jnp.logical_and(
+                j * total < rank * nsample + nsample, j < nsample
+            )
+            hit = jnp.logical_and(
+                hit, jnp.logical_or(total <= nsample, target)
+            )
+        pos0 = jnp.where(hit, iota, n)
 
         def body(k, carry):
             pos, acc = carry
@@ -126,6 +184,7 @@ def query_ball_point_multi(
     *,
     impl: str = "auto",
     interpret: bool | None = None,
+    select: str | None = None,
 ):
     """Concentric multi-radius ball query: one pairwise-distance pass,
     one (idx, cnt) pair per scale. Semantics of each scale are identical
@@ -133,10 +192,12 @@ def query_ball_point_multi(
 
     Returns a list of (idx (B,M,K_s) i32, cnt (B,M) i32) per scale.
     """
+    _check_select(select)
+    select = select or "first"
     choice = resolve_impl(impl)
     if choice != "pallas":
         return [
-            _ball_query_xla(r, k, xyz1, xyz2, valid1)
+            _ball_query_xla(r, k, xyz1, xyz2, valid1, select=select)
             for r, k in zip(radii, nsamples, strict=True)
         ]
     if interpret is None:
@@ -177,6 +238,7 @@ def query_ball_point_multi(
             nsamples=tuple(nsamples),
             r2s=tuple(float(r) ** 2 for r in radii),
             n=n,
+            select=select,
         ),
         grid=(b, mpad // tm),
         in_specs=[
@@ -211,6 +273,7 @@ def query_ball_point(
     *,
     impl: str = "auto",
     interpret: bool | None = None,
+    select: str | None = None,
 ):
     """Fixed-radius neighborhood indices with replicate-first padding.
 
@@ -220,16 +283,26 @@ def query_ball_point(
       xyz1: ``(B, N, 3)`` dataset points.
       xyz2: ``(B, M, 3)`` query centers.
       valid1: optional ``(B, N)`` bool mask for padded dataset points.
+      select: which ``nsample`` of a larger candidate set fill the slots —
+        "first" (default; the reference's first-K-in-input-order scan) or
+        "strided" (systematic sample of the full ascending candidate
+        list, ``hits[floor(j * total / nsample)]`` — the subsample-robust
+        mode for spatially-coherent point layouts where first-K collapses
+        to the ball's z-lowest corner). Identical when count <= nsample;
+        padding/count semantics are preserved either way.
 
     Returns:
       ``idx (B, M, nsample) int32``, ``pts_cnt (B, M) int32``.
     """
     if xyz1.ndim != 3 or xyz2.ndim != 3:
         raise ValueError("xyz1/xyz2 must be (B, N, 3)/(B, M, 3)")
+    _check_select(select)
     choice = resolve_impl(impl)
     if choice == "pallas":
         return query_ball_point_multi(
             (radius,), (nsample,), xyz1, xyz2, valid1,
-            impl="pallas", interpret=interpret,
+            impl="pallas", interpret=interpret, select=select,
         )[0]
-    return _ball_query_xla(radius, nsample, xyz1, xyz2, valid1)
+    return _ball_query_xla(
+        radius, nsample, xyz1, xyz2, valid1, select=select or "first"
+    )

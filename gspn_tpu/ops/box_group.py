@@ -267,7 +267,7 @@ def _relevant_chunks_box(boxes, xyz1, valid1, nc, npad, tm, mpad):
 
 
 def _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret,
-                extract=None):
+                extract=None, select="first"):
     b, n, _ = xyz1.shape
     r = boxes.shape[1]
     # read the shared knobs at CALL time so runtime retuning of
@@ -321,8 +321,23 @@ def _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret,
         if need > 16 * 1024 * 1024
         else {}
     )
-    outs = pl.pallas_call(
-        functools.partial(
+    if select == "strided":
+        # shared two-phase targeted-extraction kernel (box predicate;
+        # single scale) — see ball_group._fused_kernel_strided
+        kernel = functools.partial(
+            _bg._fused_kernel_strided,
+            nsamples=(int(s),),
+            r2s=(0.0,),
+            n=n,
+            nc=nc,
+            nw=nw,
+            ntiles=mpad // tm,
+            with_coords=with_coords,
+            unroll=_bg._UNROLL,
+            pred="box",
+        )
+    else:
+        kernel = functools.partial(
             _box_kernel,
             k=int(s),
             nc=nc,
@@ -331,7 +346,9 @@ def _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret,
             with_coords=with_coords,
             unroll=_bg._UNROLL,
             extract=extract if extract is not None else _bg._EXTRACT,
-        ),
+        )
+    outs = pl.pallas_call(
+        kernel,
         grid=(b, mpad // tm),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -352,9 +369,11 @@ def _box_pallas(boxes, s, xyz1, valid1, with_coords, interpret,
     return idx, cnt
 
 
-def _box_query_xla(boxes, s, xyz1, valid1):
+def _box_query_xla(boxes, s, xyz1, valid1, select="first"):
     """Mask + top_k formulation (the pre-kernel path, kept as the XLA
     impl and the cross-check for the kernel)."""
+    from gspn_tpu.ops.ball_query import _strided_target_mask
+
     n = xyz1.shape[1]
     lo = boxes[..., None, 0:3]
     hi = boxes[..., None, 3:6]
@@ -362,6 +381,8 @@ def _box_query_xla(boxes, s, xyz1, valid1):
     inside = jnp.all(jnp.logical_and(p >= lo, p <= hi), axis=-1)  # (B,R,N)
     if valid1 is not None:
         inside = jnp.logical_and(inside, valid1[:, None, :])
+    if select == "strided":
+        inside = _strided_target_mask(inside, s)
     pos = jnp.where(inside, jnp.arange(n, dtype=jnp.int32), n)
     neg_top, _ = jax.lax.top_k(-pos, s)
     first_s = jnp.where(-neg_top >= n, 0, -neg_top)  # ascending hits
@@ -383,6 +404,7 @@ def query_box_group(
     impl: str = "auto",
     interpret: bool | None = None,
     extract: str | None = None,
+    select: str | None = None,
 ):
     """First-``s`` in-box scene points per RoI, ascending index order.
 
@@ -394,6 +416,10 @@ def query_box_group(
       with_coords: also return box-center-local coordinates of the hits.
       extract: extraction schedule, "serial" | "rank" (default: shared
         ``ball_group._EXTRACT``); both oracle-exact first-s.
+      select: "first" (default; reference first-s-in-input-order) |
+        "strided" (systematic sample of the full in-box candidate list
+        once count > s — subsample-robust for spatially-coherent
+        layouts; ``extract`` is ignored).
 
     Returns ``(idx (B,R,S) i32, cnt (B,R) i32[, local (B,R,S,3) f32])``
     with replicate-first padding past ``cnt`` and the empty-row
@@ -401,14 +427,17 @@ def query_box_group(
     ``xyz1[idx] - (lo + hi) / 2`` bit-for-bit.
     """
     _bg._check_extract(extract)
+    _bg._check_select(select)
+    select = select or "first"
     choice = resolve_impl(impl)
     if choice == "pallas" and xyz1.shape[1] <= 131072:
         if interpret is None:
             interpret = jax.default_backend() != "tpu"
         return _box_pallas(
-            boxes, s, xyz1, valid1, with_coords, interpret, extract=extract
+            boxes, s, xyz1, valid1, with_coords, interpret,
+            extract=extract, select=select,
         )
-    idx, cnt = _box_query_xla(boxes, s, xyz1, valid1)
+    idx, cnt = _box_query_xla(boxes, s, xyz1, valid1, select=select)
     if not with_coords:
         return idx, cnt
     b, r, _ = idx.shape

@@ -83,6 +83,14 @@ def add_common_args(p: argparse.ArgumentParser):
                         "mode measured AP-safe on raw layouts; "
                         "'contiguous' on unsorted data was the "
                         "round-4 AP falsifier")
+    p.add_argument("--group-select", choices=["first", "strided"],
+                   default="first",
+                   help="neighborhood K-selection: 'first' (reference "
+                        "first-K-in-input-order) or 'strided' "
+                        "(subsample-robust systematic sample — for "
+                        "spatially-coherent raw layouts; the trainer "
+                        "warns when its layout probe detects one). Must "
+                        "match between training and eval.")
 
 
 def parse_args(argv=None):
@@ -262,6 +270,20 @@ def main(argv=None):
         cfg = dataclasses.replace(
             cfg, fps_segments=args.fps_segments,
             fps_segment_mode=args.fps_segment_mode,
+        )
+    if args.group_select != "first":
+        cfg = dataclasses.replace(cfg, group_select=args.group_select)
+    else:
+        # layout-bias probe: warn when the data layout is in the measured
+        # first-K pathology regime (gspn_tpu/data/layout_probe.py)
+        from gspn_tpu.data.layout_probe import warn_if_layout_biased
+
+        host_first = {k: __import__("numpy").asarray(v)
+                      for k, v in first.items()}
+        mid = min(1, len(cfg.context_radii) - 1)
+        warn_if_layout_biased(
+            host_first, radius=float(cfg.context_radii[mid]),
+            k=int(cfg.context_nsample[mid]), where="training data",
         )
     model = GSPN(cfg)
     tx = optax.adam(build_lr_schedule(args))

@@ -127,6 +127,21 @@ def main(argv=None):
             cfg, fps_segments=args.fps_segments,
             fps_segment_mode=args.fps_segment_mode,
         )
+    if args.group_select != "first":
+        cfg = dataclasses.replace(cfg, group_select=args.group_select)
+    else:
+        # layout-bias probe: warn when the data layout is in the measured
+        # first-K pathology regime (gspn_tpu/data/layout_probe.py)
+        import numpy as _np
+
+        from gspn_tpu.data.layout_probe import warn_if_layout_biased
+
+        warn_if_layout_biased(
+            {k: _np.asarray(v) for k, v in first.items()},
+            radius=float(cfg.sa_layers[0].radius),
+            k=int(cfg.sa_layers[0].nsample),
+            where="training data",
+        )
     model = RPointNet(cfg)
     tx = optax.adam(build_lr_schedule(args))
     bn_fn = (
@@ -155,6 +170,10 @@ def main(argv=None):
             gcfg = dataclasses.replace(
                 gcfg, fps_segments=args.fps_segments,
                 fps_segment_mode=args.fps_segment_mode,
+            )
+        if args.group_select != "first":
+            gcfg = dataclasses.replace(
+                gcfg, group_select=args.group_select
             )
         gmodel = GSPN(gcfg)
         from gspn_tpu import ops

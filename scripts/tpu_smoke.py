@@ -101,6 +101,31 @@ def main():
         assert bool(jnp.all(fgx == rx)), "rank-extract coords mismatch"
     print("ball_group extract='rank': matches serial schedule on-chip")
 
+    # --- strided selection (r5 subsample-robust mode): the two-phase
+    # targeted-extraction kernel must match the XLA systematic-sample
+    # path on the real chip (radii big enough that striding engages)
+    fused_s = ops.query_ball_group_multi(
+        (0.5, 0.9), (16, k), xyz, centers, valid,
+        impl="pallas", interpret=False, select="strided",
+    )
+    for (fgi, fgc, fgx), r, kk in zip(
+        fused_s, (0.5, 0.9), (16, k), strict=True
+    ):
+        ri, rc = ops.query_ball_point(
+            r, kk, xyz, centers, valid, impl="xla", select="strided"
+        )
+        want = ops.group_point(xyz, ri) - centers[:, :, None, :]
+        assert bool(jnp.all(fgi == ri)), f"strided idx mismatch r={r}"
+        assert bool(jnp.all(fgc == rc)), f"strided cnt mismatch r={r}"
+        assert bool(jnp.all(fgx == want)), f"strided grouped mismatch r={r}"
+    si, sc = ops.query_ball_point(
+        0.5, 16, xyz, centers, valid, impl="pallas", interpret=False,
+        select="strided",
+    )
+    assert bool(jnp.all(si == fused_s[0][0]))
+    assert bool(jnp.all(sc == fused_s[0][1]))
+    print("ball_group/ball_query select='strided': pallas==xla on-chip")
+
     # --- fused in-box RoI extraction kernel vs mask+top_k
     from gspn_tpu.ops.box_group import query_box_group
 
@@ -122,6 +147,15 @@ def main():
     assert bool(jnp.all(rc_p == gc_x)), "box_group rank cnt mismatch"
     assert bool(jnp.all(rl_p == gl_x)), "box_group rank coords mismatch"
     print("box_group extract='rank': matches xla on-chip")
+    si_p, sc_p, sl_p = query_box_group(boxes, 16, xyz, valid,
+                                       impl="pallas", interpret=False,
+                                       select="strided")
+    si_x, sc_x, sl_x = query_box_group(boxes, 16, xyz, valid, impl="xla",
+                                       select="strided")
+    assert bool(jnp.all(si_p == si_x)), "box_group strided idx mismatch"
+    assert bool(jnp.all(sc_p == sc_x)), "box_group strided cnt mismatch"
+    assert bool(jnp.all(sl_p == sl_x)), "box_group strided coords mismatch"
+    print("box_group select='strided': matches xla on-chip")
 
     # --- tiled-M three_nn (large source sets stay in VMEM)
     td, ti = ops.three_nn(xyz[:, :512], xyz, valid, impl="pallas", interpret=False)

@@ -28,8 +28,13 @@ def fps_oracle(npoint: int, xyz: np.ndarray, valid: np.ndarray | None = None):
     return out
 
 
-def ball_query_oracle(radius, nsample, xyz1, xyz2, valid1=None):
-    """Sequential scan in input order; replicate-first padding; capped count."""
+def ball_query_oracle(radius, nsample, xyz1, xyz2, valid1=None,
+                      select="first"):
+    """Sequential scan in input order; replicate-first padding; capped
+    count. select="strided": systematic sample of the FULL ascending
+    candidate list (``hits[floor(j * total / nsample)]``) once a query
+    has more than ``nsample`` candidates — identical to first-K
+    otherwise; cnt is min(total, nsample) either way."""
     b, n, _ = xyz1.shape
     m = xyz2.shape[1]
     idx = np.zeros((b, m, nsample), np.int32)
@@ -38,18 +43,22 @@ def ball_query_oracle(radius, nsample, xyz1, xyz2, valid1=None):
     for bi in range(b):
         v = np.ones(n, bool) if valid1 is None else valid1[bi].astype(bool)
         for mi in range(m):
-            c = 0
+            hits = []
             for j in range(n):
-                if c == nsample:
+                if select == "first" and len(hits) == nsample:
                     break
                 if not v[j]:
                     continue
                 d = np.sum((xyz1[bi, j] - xyz2[bi, mi]) ** 2, dtype=np.float32)
                 if d < r2:
-                    if c == 0:
-                        idx[bi, mi, :] = j
-                    idx[bi, mi, c] = j
-                    c += 1
+                    hits.append(j)
+            total = len(hits)
+            if select == "strided" and total > nsample:
+                hits = [hits[(j * total) // nsample] for j in range(nsample)]
+            c = min(total, nsample)
+            if c > 0:
+                idx[bi, mi, :] = hits[0]
+                idx[bi, mi, :c] = hits[:c]
             cnt[bi, mi] = c
     return idx, cnt
 

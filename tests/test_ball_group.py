@@ -44,6 +44,72 @@ def test_fused_matches_composed_single_scale(rng, masked, impl, extract):
     np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
 
 
+@pytest.mark.parametrize("masked", [False, True])
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_strided_select_matches_oracle(rng, masked, impl):
+    """select="strided" (subsample-robust systematic sample of the full
+    candidate list; ops/ball_query.py) — oracle-exact both impls, masked
+    and unmasked, multi-scale, including the grouped-coords contract.
+    Radii large enough that many queries overflow K (striding engages)."""
+    xyz1, xyz2, valid = _scene(rng, masked=masked)
+    radii, ks = (0.5, 0.9), (8, 16)
+    outs = query_ball_group_multi(
+        radii, ks, xyz1, xyz2, valid, impl=impl, select="strided"
+    )
+    overflowed = 0
+    for (idx, cnt, grouped), r, k in zip(outs, radii, ks, strict=True):
+        oidx, ocnt = ball_query_oracle(
+            r, k, np.asarray(xyz1), np.asarray(xyz2),
+            None if valid is None else np.asarray(valid),
+            select="strided",
+        )
+        np.testing.assert_array_equal(np.asarray(idx), oidx)
+        np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+        want = ops.group_point(xyz1, idx) - xyz2[:, :, None, :]
+        np.testing.assert_array_equal(np.asarray(grouped), np.asarray(want))
+        # the strided selection must actually differ from first-K here
+        fidx, _ = ball_query_oracle(
+            r, k, np.asarray(xyz1), np.asarray(xyz2),
+            None if valid is None else np.asarray(valid),
+        )
+        overflowed += int((fidx != oidx).any())
+    assert overflowed, "test radii too small: striding never engaged"
+    # the standalone ball query agrees with the fused kernel
+    bidx, bcnt = ops.query_ball_point(
+        radii[0], ks[0], xyz1, xyz2, valid, impl=impl, select="strided"
+    )
+    np.testing.assert_array_equal(np.asarray(bidx), np.asarray(outs[0][0]))
+    np.testing.assert_array_equal(np.asarray(bcnt), np.asarray(outs[0][1]))
+
+
+def test_strided_select_multi_chunk(rng):
+    """Strided selection across chunk/window boundaries: N large enough
+    for several windows, with validity holes."""
+    b, n, m, k, r = 1, 6000, 16, 12, 0.5
+    xyz1 = jnp.asarray(rng.uniform(-1, 1, (b, n, 3)).astype(np.float32))
+    xyz2 = jnp.asarray(rng.uniform(-1, 1, (b, m, 3)).astype(np.float32))
+    valid = jnp.asarray(rng.random((b, n)) > 0.1)
+    (idx, cnt, _), = query_ball_group_multi(
+        (r,), (k,), xyz1, xyz2, valid, impl="pallas", select="strided"
+    )
+    oidx, ocnt = ball_query_oracle(
+        r, k, np.asarray(xyz1), np.asarray(xyz2), np.asarray(valid),
+        select="strided",
+    )
+    np.testing.assert_array_equal(np.asarray(idx), oidx)
+    np.testing.assert_array_equal(np.asarray(cnt), ocnt)
+    assert int(ocnt.max()) == k  # striding engaged somewhere
+
+
+def test_select_validation():
+    xyz = jnp.zeros((1, 128, 3), jnp.float32)
+    q = jnp.zeros((1, 8, 3), jnp.float32)
+    with pytest.raises(ValueError, match="select"):
+        query_ball_group_multi((0.3,), (8,), xyz, q, select="random")
+    with pytest.raises(ValueError, match="select"):
+        ops.query_ball_point(0.3, 8, xyz, q, select="stratified")
+
+
 @pytest.mark.parametrize("impl", ["xla", "pallas"])
 def test_fused_multi_scale_matches_per_scale(rng, impl):
     xyz1, xyz2, valid = _scene(rng, masked=True)

@@ -10,9 +10,11 @@ import pytest
 from gspn_tpu.ops.box_group import query_box_group
 
 
-def box_group_oracle(boxes, s, xyz1, valid1=None):
+def box_group_oracle(boxes, s, xyz1, valid1=None, select="first"):
     """Sequential first-s in-box scan: ascending index order,
-    replicate-first padding, cnt capped at s, empty rows -> idx 0."""
+    replicate-first padding, cnt capped at s, empty rows -> idx 0.
+    select="strided": systematic sample hits[floor(j*total/s)] of the
+    FULL in-box candidate list once total > s (identical otherwise)."""
     b, r, _ = boxes.shape
     n = xyz1.shape[1]
     idx = np.zeros((b, r, s), np.int32)
@@ -27,11 +29,15 @@ def box_group_oracle(boxes, s, xyz1, valid1=None):
                 p = xyz1[bi, j]
                 if np.all(p >= lo) and np.all(p <= hi):
                     hits.append(j)
-                    if len(hits) == s:
+                    if select == "first" and len(hits) == s:
                         break
-            cnt[bi, ri] = len(hits)
+            total = len(hits)
+            if select == "strided" and total > s:
+                hits = [hits[(j * total) // s] for j in range(s)]
+            c = min(total, s)
+            cnt[bi, ri] = c
             if hits:
-                row = hits + [hits[0]] * (s - len(hits))
+                row = hits[:c] + [hits[0]] * (s - c)
                 idx[bi, ri] = np.asarray(row, np.int32)
     return idx, cnt
 
@@ -49,18 +55,25 @@ def _scene(rng, b=2, n=300, r=20, masked=False):
 
 @pytest.mark.parametrize("masked", [False, True])
 @pytest.mark.parametrize(
-    "impl,extract",
-    [("xla", None), ("pallas", "serial"), ("pallas", "rank")],
+    "impl,extract,select",
+    [
+        ("xla", None, None),
+        ("pallas", "serial", None),
+        ("pallas", "rank", None),
+        ("xla", None, "strided"),
+        ("pallas", None, "strided"),
+    ],
 )
-def test_box_group_matches_oracle(rng, masked, impl, extract):
+def test_box_group_matches_oracle(rng, masked, impl, extract, select):
     xyz1, boxes, valid = _scene(rng, masked=masked)
     s = 16
     idx, cnt, local = query_box_group(
-        boxes, s, xyz1, valid, impl=impl, extract=extract
+        boxes, s, xyz1, valid, impl=impl, extract=extract, select=select
     )
     oidx, ocnt = box_group_oracle(
         np.asarray(boxes), s, np.asarray(xyz1),
         None if valid is None else np.asarray(valid),
+        select=select or "first",
     )
     np.testing.assert_array_equal(np.asarray(idx), oidx)
     np.testing.assert_array_equal(np.asarray(cnt), ocnt)

@@ -103,3 +103,60 @@ def test_morton_order_improves_locality():
         a = np.asarray(a)[0]
         return np.linalg.norm(np.diff(a, axis=0), axis=1).mean()
     assert mean_step(sx) < 0.35 * mean_step(xyz)
+
+
+def test_layout_bias_probe_discriminates():
+    """The layout-bias probe (data/layout_probe.py) reads ~1.0 on raw
+    instance-ordered scenes and well below the warn threshold on
+    Morton-sorted ones — the round-4 measured pathology regime."""
+    from gspn_tpu.data import native, synthetic
+    from gspn_tpu.data.layout_probe import (
+        SPREAD_WARN_THRESHOLD,
+        layout_bias_probe,
+    )
+
+    rng = np.random.default_rng(0)
+    batch = synthetic.scene_batch(rng, 2, n_points=4096, max_instances=8)
+    raw = layout_bias_probe(batch["xyz"], batch["valid"], radius=0.5, k=64)
+    srt = native.morton_sort_batch(batch)
+    mor = layout_bias_probe(srt["xyz"], srt["valid"], radius=0.5, k=64)
+    assert not raw["biased"], raw
+    assert raw["spread_ratio"] > SPREAD_WARN_THRESHOLD
+    assert mor["biased"], mor
+    assert mor["spread_ratio"] < SPREAD_WARN_THRESHOLD
+
+
+def test_pipeline_runs_with_strided_select():
+    """group_select="strided" plumbs through both stages of the fused
+    pipeline (GSPN context crops, backbone SA, RoI in-box sampling) and
+    changes the predictions on Morton-sorted data (where first-K is the
+    measured pathology) while keeping shapes/validity sane."""
+    import jax
+
+    from gspn_tpu.data import native, synthetic
+    from gspn_tpu.models.pipeline import (
+        init_pipeline_variables,
+        make_inference_fn,
+    )
+    from gspn_tpu.models.presets import set_pipeline_group_select
+    from tests.test_pipeline_eval import TINY
+
+    rng = np.random.default_rng(2)
+    batch = native.morton_sort_batch(
+        synthetic.scene_batch(rng, 1, n_points=256, max_instances=4)
+    )
+    xyz = jnp.asarray(batch["xyz"])
+    valid = jnp.asarray(batch["valid"])
+    key = jax.random.PRNGKey(0)
+    variables = init_pipeline_variables(TINY, key, 256)
+    p_first = make_inference_fn(TINY)(variables, xyz, None, valid, key)
+    cfg_s = set_pipeline_group_select(TINY, "strided")
+    p_strided = make_inference_fn(cfg_s)(variables, xyz, None, valid, key)
+    assert p_strided.masks.shape == p_first.masks.shape
+    # selection mode must actually reach the compute (outputs differ on
+    # a spatially-coherent layout)
+    assert not np.array_equal(
+        np.asarray(p_first.masks), np.asarray(p_strided.masks)
+    ) or not np.array_equal(
+        np.asarray(p_first.scores), np.asarray(p_strided.scores)
+    )
