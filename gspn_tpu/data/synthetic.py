@@ -64,26 +64,78 @@ def scene(
     extent: float = 4.0,
     bg_frac: float = 0.3,
     feature_dim: int = 0,
+    density: str = "count",
+    size_range: tuple[float, float] = (0.3, 0.8),
+    bg_mode: str = "floor",
 ) -> Scene:
     """A room: floor clutter (background) + several object instances.
 
     Semantic label = 1 + kind index for instances, 0 for background.
     Instance label = 1..I for instances, 0 for background.
+
+    ``density`` controls how points split between background and
+    instances (the round-5 generator-family axis — VERDICT r4 #2: the
+    spatial-seg8 default's AP evidence must not rest on one generator's
+    instances-denser-than-background construction):
+      - "count" (default, round-1..4 behavior, rng-sequence-identical):
+        ``bg_frac`` of points to background, the rest split EQUALLY
+        across instances — instances end up much denser than background.
+      - "area": points allocated proportionally to surface area
+        (floor ~ extent^2 vs instance ~ 3*size^2), one shared density —
+        the neutral-density family (instances no longer density-marked).
+      - "sparse": like "area" but instances sample at HALF the
+        background density — the adversarial family (density marks the
+        background instead).
+    ``bg_mode``: "floor" (default; clutter on the ground plane) or
+    "volume" (uniform 3-D noise — no floor structure).
     """
     n_inst = int(rng.integers(2, max_instances + 1))
-    n_bg = int(n_points * bg_frac)
-    n_per = (n_points - n_bg) // n_inst
+    if density == "count":
+        n_bg = int(n_points * bg_frac)
+        counts = [(n_points - n_bg) // n_inst] * n_inst
+        sizes = None  # drawn inside the loop: keeps the default rng
+        #               sequence bit-identical to rounds 1-4 (frozen
+        #               fixtures + AP ladders depend on it)
+    elif density in ("area", "sparse"):
+        sizes = rng.uniform(size_range[0], size_range[1], n_inst)
+        floor_area = extent * extent
+        inst_area = 3.0 * sizes**2  # rough unit-shape surface scale
+        w = np.concatenate([[floor_area], inst_area])
+        if density == "sparse":
+            w[1:] *= 0.5
+        w = w / w.sum()
+        counts = np.maximum((n_points * w[1:]).astype(int), 16)
+        n_bg = n_points - int(counts.sum())
+        if n_bg < 0:  # tiny scenes: shrink instances to fit
+            counts = np.maximum(
+                (counts * n_points) // (counts.sum() + 16), 8
+            )
+            n_bg = max(n_points - int(counts.sum()), 0)
+        counts = list(counts)
+    else:
+        raise ValueError(f"density must be count|area|sparse, got {density!r}")
     xyz, sem, inst = [], [], []
 
-    bg = rng.uniform(0, extent, (n_bg, 3)).astype(np.float32)
-    bg[:, 2] = np.abs(rng.standard_normal(n_bg).astype(np.float32)) * 0.02
+    if bg_mode == "floor":
+        bg = rng.uniform(0, extent, (n_bg, 3)).astype(np.float32)
+        bg[:, 2] = np.abs(rng.standard_normal(n_bg).astype(np.float32)) * 0.02
+    elif bg_mode == "volume":
+        bg = rng.uniform(0, extent, (n_bg, 3)).astype(np.float32)
+        bg[:, 2] *= 0.5  # room height ~ extent/2
+    else:
+        raise ValueError(f"bg_mode must be floor|volume, got {bg_mode!r}")
     xyz.append(bg)
     sem.append(np.zeros(n_bg, np.int32))
     inst.append(np.zeros(n_bg, np.int32))
 
     for i in range(n_inst):
+        n_per = counts[i]
         pts, kind = single_object(rng, n_per)
-        size = rng.uniform(0.3, 0.8)
+        size = (
+            rng.uniform(size_range[0], size_range[1])
+            if sizes is None
+            else float(sizes[i])
+        )
         loc = rng.uniform(0.7, extent - 0.7, 3).astype(np.float32)
         loc[2] = size * 0.5
         pts = pts * size + loc
@@ -118,6 +170,23 @@ def scene(
         inst_label=inst[perm],
         num_instances=n_inst,
     )
+
+
+# Generator families for the spatial-segmented-FPS stress matrix
+# (VERDICT r4 #2). "default" is the rounds-1..4 generator whose
+# instances are denser than background by construction — exactly the
+# property the spatial mode's equal-count Morton tiles key on; the
+# others vary or invert it. Keys are CLI-facing (run_eval --family,
+# scripts/stress_segfps_families.py).
+FAMILIES: dict[str, dict] = {
+    "default": {},
+    "uniform": {"density": "area"},  # instances at background density
+    "sparse": {"density": "sparse"},  # ADVERSARIAL: instances sparser
+    "heavy_bg": {"bg_frac": 0.7},  # background dominates the count
+    "many_small": {"max_instances": 16, "size_range": (0.15, 0.35)},
+    "few_large": {"max_instances": 3, "size_range": (0.8, 1.4)},
+    "volume_bg": {"bg_mode": "volume"},  # no floor structure
+}
 
 
 def scene_batch(rng, batch: int, **kw):

@@ -42,6 +42,11 @@ def parse_args(argv=None):
                    help="PartNet h5 dir: part-instance segmentation eval "
                         "(BASELINE config 5 workload)")
     p.add_argument("--num-scenes", type=int, default=16)
+    p.add_argument("--family", choices=sorted(synthetic.FAMILIES),
+                   default="default",
+                   help="synthetic generator family (data/synthetic.py "
+                        "FAMILIES) — the spatial-segfps stress-matrix "
+                        "axis; only used with the synthetic source")
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--num-points", type=int, default=4096)
     p.add_argument("--morton", action="store_true",
@@ -301,13 +306,16 @@ def main(argv=None):
                 done += b
     else:
 
+        fam_kw = dict(synthetic.FAMILIES[args.family])
+        fam_kw.setdefault("max_instances", 8)
+
         def batches():
             np_rng = np.random.default_rng(args.seed)
             done = 0
             while done < args.num_scenes:
                 b = min(args.batch, args.num_scenes - done)
                 batch = synthetic.scene_batch(
-                    np_rng, b, n_points=args.num_points, max_instances=8
+                    np_rng, b, n_points=args.num_points, **fam_kw
                 )
                 yield (
                     native.morton_sort_batch(batch) if args.morton else batch
