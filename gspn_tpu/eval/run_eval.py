@@ -112,6 +112,11 @@ def parse_args(argv=None):
                         "e.g. Morton-sorted or scan-ordered; the eval "
                         "warns when its layout probe detects this). "
                         "Default: the preset's choice ('first')")
+    p.add_argument("--mask-project-prune", choices=["auto", "off"],
+                   default=None,
+                   help="box-pruned mask projection over the spatial-FPS "
+                        "Morton view (mask-exact; models/pipeline.py). "
+                        "Default: the preset's choice ('auto')")
     p.add_argument("--ab-fps-segments", type=int, default=None,
                    help="paired A/B: ALSO run a second arm with this "
                         "fps_segments on the SAME scenes and report the "
@@ -276,6 +281,12 @@ def main(argv=None):
         from gspn_tpu.models.presets import set_pipeline_group_select
 
         cfg = set_pipeline_group_select(cfg, args.group_select)
+    if args.mask_project_prune is not None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, mask_project_prune=args.mask_project_prune
+        )
     key = jax.random.PRNGKey(args.seed)
 
     # data source — each batches() call creates its own rng so probing

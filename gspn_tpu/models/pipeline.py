@@ -44,6 +44,15 @@ class PipelineConfig:
     # spatial-mode the Morton sort is still paid only once
     # (ops.spatial_sorted_view).
     sa1_fps_segments: int = 0
+    # Box-pruned mask projection: "auto" = when the FPS pass already paid
+    # for a Morton-sorted scene view (segment_mode="spatial"), project
+    # RoI mask logits over THAT view and skip (RoI-block, scene-tile)
+    # kernel programs whose tile AABB misses every box in the block
+    # (ops.nearest_sample_logit_boxed) — mask-exact, because
+    # project_roi_masks ANDs logits with box membership anyway. "off" =
+    # always dense. Pruning without a spatial FPS pass is never worth a
+    # dedicated sort, so "auto" silently stays dense in exact-FPS configs.
+    mask_project_prune: str = "auto"
 
 
 @flax.struct.dataclass
@@ -59,7 +68,7 @@ class InstancePredictions:
 
 def project_roi_masks(
     xyz, boxes, roi_xyz, mask_logits, mask_thresh, valid=None, impl="auto",
-    mode: str = "1nn",
+    mode: str = "1nn", sorted_view=None,
 ):
     """Projection of RoI mask logits to every scene point inside the
     (refined) box. ``roi_xyz (B, R, S, 3)`` are the world coordinates of
@@ -71,10 +80,43 @@ def project_roi_masks(
     rule, on-device via the Pallas kernel in ``ops.mask_project``).
     mode="3nn": inverse-distance-weighted logits of the 3 nearest samples
     (smoother boundaries; uses the tiled three_nn kernel per RoI).
+
+    ``sorted_view=(sxyz, svalid, sidx)`` (an ``ops.spatial_sorted_view``
+    of ``xyz``/``valid``): 1nn-mode projects over the Morton-sorted view
+    with box pruning (``ops.nearest_sample_logit_boxed``) and unpermutes
+    the resulting masks — bit-identical masks, since every valid in-box
+    point's logit is exact and everything else is ANDed away.
     """
     b, r, s, _ = roi_xyz.shape
     n = xyz.shape[1]
     sampled = roi_xyz
+
+    if sorted_view is not None and mode == "1nn":
+        sxyz, svalid, sidx = sorted_view
+        inside_s = jnp.all(
+            jnp.logical_and(
+                sxyz[:, None, :, :] >= boxes[..., None, 0:3],
+                sxyz[:, None, :, :] <= boxes[..., None, 3:6],
+            ),
+            axis=-1,
+        )  # (B, R, N) over the sorted view
+        pv = svalid
+        if pv is not None:
+            inside_s = jnp.logical_and(inside_s, pv[:, None, :])
+        logit_s = ops.nearest_sample_logit_boxed(
+            sxyz, sampled, mask_logits, boxes, point_valid=pv, impl=impl
+        )
+        mask_s = jnp.logical_and(
+            inside_s, jax.nn.sigmoid(logit_s) > mask_thresh
+        )
+        # unpermute: raw point p sits at sorted position inv[p]
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
+        inv = jnp.zeros((b, n), jnp.int32).at[
+            jnp.arange(b, dtype=jnp.int32)[:, None], sidx
+        ].set(iota)
+        return jnp.take_along_axis(
+            mask_s, jnp.broadcast_to(inv[:, None, :], (b, r, n)), axis=2
+        )
 
     inside = jnp.all(
         jnp.logical_and(
@@ -103,17 +145,34 @@ def project_roi_masks(
 
 
 def shared_fps_indices(cfg: PipelineConfig, xyz, valid):
-    """(seed_idx, sa1_fps_idx-or-None): greedy FPS is prefix-consistent
-    (fps(k) == fps(n)[:, :k] on the same masked point set), so ONE
-    sampling pass serves both the proposal seeds and the backbone's first
-    SA layer — but only when both stages use the same impl (backends may
-    diverge by one-ULP tie flips; training-time sa1 samples with
-    rpointnet.ops_impl, so a shared pass from a different impl would skew
-    inference vs training) and the same ``fps_segments`` (a segmented
-    pass is prefix-consistent only at multiples of the segment count —
-    ops.shared_eligible_fps_segments enforces eligibility for BOTH
-    consumer lengths, falling back to exact). Used by the fused pipeline
-    and the spatially-sharded variant, which must stay bit-identical."""
+    """(seed_idx, sa1_fps_idx-or-None) — see
+    :func:`shared_fps_indices_view`, whose sorted-view extra return this
+    wrapper drops for callers that only sample."""
+    seed_idx, sa1_idx, _ = shared_fps_indices_view(cfg, xyz, valid)
+    return seed_idx, sa1_idx
+
+
+def shared_fps_indices_view(cfg: PipelineConfig, xyz, valid):
+    """(seed_idx, sa1_fps_idx-or-None, sorted_view-or-None): greedy FPS is
+    prefix-consistent (fps(k) == fps(n)[:, :k] on the same masked point
+    set), so ONE sampling pass serves both the proposal seeds and the
+    backbone's first SA layer — but only when both stages use the same
+    impl (backends may diverge by one-ULP tie flips; training-time sa1
+    samples with rpointnet.ops_impl, so a shared pass from a different
+    impl would skew inference vs training) and the same ``fps_segments``
+    (a segmented pass is prefix-consistent only at multiples of the
+    segment count — ops.shared_eligible_fps_segments enforces eligibility
+    for BOTH consumer lengths, falling back to exact). Used by the fused
+    pipeline and the spatially-sharded variant, which must stay
+    bit-identical.
+
+    When the pass runs in ``segment_mode="spatial"``, the Morton sort is
+    hoisted out of the op (``ops.spatial_sorted_view`` + contiguous
+    chains over the view — the op's own composition, fps.py
+    ``segment_mode == "spatial"`` branch, so picks are bit-identical) and
+    the view ``(sxyz, svalid, sidx)`` is returned so downstream
+    consumers (box-pruned mask projection) reuse the already-paid sort.
+    """
     sa1_n = cfg.rpointnet.sa_layers[0].npoint
     n = xyz.shape[1]
     if cfg.sa1_fps_segments and cfg.sa1_fps_segments != cfg.gspn.fps_segments:
@@ -126,11 +185,21 @@ def shared_fps_indices(cfg: PipelineConfig, xyz, valid):
         segs = ops.shared_eligible_fps_segments(
             cfg.gspn.fps_segments, (cfg.num_seeds, sa1_n), n
         )
+        if segs > 1 and cfg.gspn.fps_segment_mode == "spatial":
+            view = ops.spatial_sorted_view(xyz, valid)
+            sxyz, svalid, sidx = view
+            pos = ops.farthest_point_sample(
+                max(cfg.num_seeds, sa1_n), sxyz, svalid,
+                impl=cfg.gspn.ops_impl, segments=segs,
+                segment_mode="contiguous",
+            )
+            fps_all = jnp.take_along_axis(sidx, pos, axis=1)
+            return fps_all[:, : cfg.num_seeds], fps_all[:, :sa1_n], view
         fps_all = ops.farthest_point_sample(
             max(cfg.num_seeds, sa1_n), xyz, valid, impl=cfg.gspn.ops_impl,
             segments=segs, segment_mode=cfg.gspn.fps_segment_mode,
         )
-        return fps_all[:, : cfg.num_seeds], fps_all[:, :sa1_n]
+        return fps_all[:, : cfg.num_seeds], fps_all[:, :sa1_n], None
     seed_idx = ops.farthest_point_sample(
         cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl,
         segments=ops.eligible_fps_segments(
@@ -138,7 +207,8 @@ def shared_fps_indices(cfg: PipelineConfig, xyz, valid):
         ),
         segment_mode=cfg.gspn.fps_segment_mode,
     )
-    return seed_idx, None  # backbone samples with its own impl/segments
+    # backbone samples with its own impl/segments
+    return seed_idx, None, None
 
 
 def _split_fps_indices(cfg: PipelineConfig, xyz, valid, sa1_n: int, n: int):
@@ -162,7 +232,8 @@ def _split_fps_indices(cfg: PipelineConfig, xyz, valid, sa1_n: int, n: int):
         and seed_segs > 1
         and sa1_segs > 1
     ):
-        sxyz, svalid, sidx = ops.spatial_sorted_view(xyz, valid)
+        view = ops.spatial_sorted_view(xyz, valid)
+        sxyz, svalid, sidx = view
         seed_pos = ops.farthest_point_sample(
             cfg.num_seeds, sxyz, svalid, impl=cfg.gspn.ops_impl,
             segments=seed_segs, segment_mode="contiguous",
@@ -174,6 +245,7 @@ def _split_fps_indices(cfg: PipelineConfig, xyz, valid, sa1_n: int, n: int):
         return (
             jnp.take_along_axis(sidx, seed_pos, axis=1),
             jnp.take_along_axis(sidx, sa1_pos, axis=1),
+            view,
         )
     seed_idx = ops.farthest_point_sample(
         cfg.num_seeds, xyz, valid, impl=cfg.gspn.ops_impl,
@@ -183,7 +255,7 @@ def _split_fps_indices(cfg: PipelineConfig, xyz, valid, sa1_n: int, n: int):
         sa1_n, xyz, valid, impl=cfg.rpointnet.ops_impl,
         segments=sa1_segs, segment_mode=mode_r,
     )
-    return seed_idx, sa1_idx
+    return seed_idx, sa1_idx, None
 
 
 def make_inference_fn(cfg: PipelineConfig):
@@ -192,10 +264,15 @@ def make_inference_fn(cfg: PipelineConfig):
     'rpointnet' variable collections. Jit-friendly, static shapes."""
     gspn = GSPN(cfg.gspn)
     rpn = RPointNet(cfg.rpointnet)
+    if cfg.mask_project_prune not in ("auto", "off"):
+        raise ValueError(
+            "mask_project_prune must be auto|off, got "
+            f"{cfg.mask_project_prune!r}"
+        )
 
     def infer(variables, xyz, features=None, valid=None, rng=None):
         rng = rng if rng is not None else jax.random.PRNGKey(0)
-        seed_idx, sa1_idx = shared_fps_indices(cfg, xyz, valid)
+        seed_idx, sa1_idx, view = shared_fps_indices_view(cfg, xyz, valid)
         gout = gspn.apply(
             variables["gspn"],
             xyz,
@@ -227,6 +304,9 @@ def make_inference_fn(cfg: PipelineConfig):
         masks = project_roi_masks(
             xyz, refined, out.roi_xyz, out.mask_logits, cfg.mask_thresh,
             valid, mode=cfg.mask_project,
+            sorted_view=(
+                view if cfg.mask_project_prune == "auto" else None
+            ),
         )
         masks = jnp.logical_and(masks, pvalid[..., None])
         return InstancePredictions(

@@ -23,7 +23,10 @@ from gspn_tpu.ops.interpolate import (
     three_interpolate_weights,
     three_nn,
 )
-from gspn_tpu.ops.mask_project import nearest_sample_logit
+from gspn_tpu.ops.mask_project import (
+    nearest_sample_logit,
+    nearest_sample_logit_boxed,
+)
 from gspn_tpu.ops.morton import apply_order, morton_codes, spatial_order
 from gspn_tpu.ops.nms import box_iou, box_volume, nms_3d, nms_3d_batched
 from gspn_tpu.ops.sampling import prob_sample, random_prob_sample
@@ -44,6 +47,7 @@ __all__ = [
     "morton_codes",
     "spatial_order",
     "nearest_sample_logit",
+    "nearest_sample_logit_boxed",
     "nms_3d",
     "nms_3d_batched",
     "nn_distance",

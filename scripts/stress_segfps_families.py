@@ -64,7 +64,13 @@ def main():
             "--num-points", str(args.num_points),
             "--seed", str(args.seed),
             "--family", fam,
-            # main arm: the preset default (spatial8); B arm: exact
+            # main arm: spatial8, PINNED explicitly — run_eval builds its
+            # config from the restored (exact-FPS-trained) checkpoint, so
+            # relying on the inference preset default would silently run
+            # exact-vs-exact (observed: identical arms, diff CI [0, 0])
+            "--fps-segments", "8",
+            "--fps-segment-mode", "spatial",
+            # B arm: exact
             "--ab-fps-segments", "1",
             "--bootstrap", str(args.bootstrap),
         ]

@@ -243,6 +243,26 @@ def main():
     mx = ops.nearest_sample_logit(xyz, sampled, logits, impl="xla")
     assert bool(jnp.all(jnp.abs(mp - mx) < 1e-6)), "mask projection mismatch"
     print("mask projection pallas==xla: True")
+    # box-pruned variant: exact (vs dense) for every in-box point
+    pbx = jnp.concatenate(
+        [sampled.min(2) - 0.05, sampled.max(2) + 0.05], -1
+    )  # (b, 8, 6)
+    mb = ops.nearest_sample_logit_boxed(
+        xyz, sampled, logits, pbx, impl="pallas", interpret=False,
+        roi_block=8, tile_n=1024,
+    )
+    inbox = jnp.all(
+        jnp.logical_and(
+            xyz[:, None, :, :] >= pbx[..., None, 0:3],
+            xyz[:, None, :, :] <= pbx[..., None, 3:6],
+        ),
+        axis=-1,
+    )
+    assert bool(jnp.any(inbox)), "boxed smoke: degenerate (no in-box points)"
+    assert bool(
+        jnp.all(jnp.where(inbox, mb == mp, True))  # vs PALLAS dense: bitwise
+    ), "boxed mask projection mismatch inside boxes"
+    print("mask projection boxed (pruned) == dense inside boxes: True")
     bx = jnp.concatenate([nx - 0.1, nx + 0.1], -1)
     sc = jnp.linalg.norm(nx, axis=-1)
     kp = ops.nms_3d_batched(bx, sc, 0.3, impl="pallas", interpret=False)
