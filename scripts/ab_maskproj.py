@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--gspn-ckpt", default="runs/r4_gspn/ckpt")
     ap.add_argument("--rpointnet-ckpt", default="runs/r4_rpn/ckpt")
     ap.add_argument("--random-init", action="store_true")
+    ap.add_argument("--shapes", choices=["full", "tiny"], default="full",
+                    help="tiny = CPU-interpret end-to-end script check "
+                         "(TINY preset, 256-point scenes, random init); "
+                         "timings are meaningless off-chip")
     args = ap.parse_args()
 
     from gspn_tpu import ops
@@ -51,14 +55,30 @@ def main():
     from gspn_tpu.utils.timing import time_fn
     from __graft_entry__ import _flagship_pipeline_config
 
-    base = _flagship_pipeline_config()  # spatial-seg8, prune=auto default
+    global ROUNDS, ITERS, KNOBS
+    if args.shapes == "tiny":
+        from tests.test_pipeline_eval import TINY
+
+        base = dataclasses.replace(
+            TINY,
+            gspn=dataclasses.replace(
+                TINY.gspn, fps_segments=2, fps_segment_mode="spatial"
+            ),
+        )
+        args.random_init = True
+        ROUNDS, ITERS = 1, 1
+        KNOBS = ((8, 128),)
+        shapes = (("tiny B=2 N=256", 2, 256, True),)
+    else:
+        base = _flagship_pipeline_config()  # spatial-seg8, prune=auto
+        shapes = (
+            ("flagship B=8 N=8192", 8, 8192, False),
+            ("whole-scene B=1 N=65536 (10% masked)", 1, 65536, True),
+        )
     off = dataclasses.replace(base, mask_project_prune="off")
 
     key = jax.random.PRNGKey(1)
-    for name, b, n, masked in (
-        ("flagship B=8 N=8192", 8, 8192, False),
-        ("whole-scene B=1 N=65536 (10% masked)", 1, 65536, True),
-    ):
+    for name, b, n, masked in shapes:
         rng = np.random.default_rng(0)
         batch = synthetic.scene_batch(
             rng, b, n_points=n, max_instances=8 if n <= 8192 else 24,
