@@ -52,7 +52,18 @@ class PipelineConfig:
     # project_roi_masks ANDs logits with box membership anyway. "off" =
     # always dense. Pruning without a spatial FPS pass is never worth a
     # dedicated sort, so "auto" silently stays dense in exact-FPS configs.
-    mask_project_prune: str = "auto"
+    #
+    # MEASURED A LOSER (round 5, VERDICT r4 #5 — default stays "off"):
+    # interleaved whole-pipeline A/B at rb∈{8,16,32} × tn∈{1024,2048}
+    # reads 0.94-0.96× vs off at BOTH flagship and whole-scene shapes.
+    # The gate has nothing to prune at useful block sizes — measured
+    # program-relevance fractions are 0.81-1.0 (a block of ≥8 RoI boxes
+    # unions to most of the scene; 1-2k-point Morton tiles are 1/4 to
+    # 1/32 of it), so ≤10-20% of kernel programs skip while the pruned
+    # path pays ~0.6-0.9 ms of fixed overhead (tile-relevance pass,
+    # sorted-view box test, mask unpermute). See STATUS.md for the full
+    # breakdown, incl. the unpermute-gather layout lesson.
+    mask_project_prune: str = "off"
 
 
 @flax.struct.dataclass
@@ -109,14 +120,21 @@ def project_roi_masks(
         mask_s = jnp.logical_and(
             inside_s, jax.nn.sigmoid(logit_s) > mask_thresh
         )
-        # unpermute: raw point p sits at sorted position inv[p]
+        # unpermute: raw point p sits at sorted position inv[p]. Gather in
+        # (B, N, R) layout so each fetched slice is a contiguous 128-lane
+        # RoI row — a take_along_axis over the point axis of (B, R, N)
+        # broadcasts the indices over R and lowers to an ELEMENTWISE
+        # gather (slice_sizes={1,1}), measured ~90 ms for 8.4M bools
+        # (~11 ns/element) vs <1 ms for the row form.
         iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (b, n))
         inv = jnp.zeros((b, n), jnp.int32).at[
             jnp.arange(b, dtype=jnp.int32)[:, None], sidx
         ].set(iota)
-        return jnp.take_along_axis(
-            mask_s, jnp.broadcast_to(inv[:, None, :], (b, r, n)), axis=2
-        )
+        mask_t = jnp.swapaxes(mask_s, 1, 2)  # (B, N_s, R)
+        mask_raw_t = jax.vmap(
+            lambda m, i: jnp.take(m, i, axis=0, unique_indices=True)
+        )(mask_t, inv)
+        return jnp.swapaxes(mask_raw_t, 1, 2)
 
     inside = jnp.all(
         jnp.logical_and(

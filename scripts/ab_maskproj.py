@@ -70,11 +70,14 @@ def main():
         KNOBS = ((8, 128),)
         shapes = (("tiny B=2 N=256", 2, 256, True),)
     else:
-        base = _flagship_pipeline_config()  # spatial-seg8, prune=auto
+        base = _flagship_pipeline_config()  # spatial-seg8
         shapes = (
             ("flagship B=8 N=8192", 8, 8192, False),
             ("whole-scene B=1 N=65536 (10% masked)", 1, 65536, True),
         )
+    # pin both arms: the preset default is "off" (the measured winner),
+    # so the pruned arms must opt in explicitly
+    base = dataclasses.replace(base, mask_project_prune="auto")
     off = dataclasses.replace(base, mask_project_prune="off")
 
     key = jax.random.PRNGKey(1)

@@ -144,7 +144,9 @@ def test_pipeline_pruned_projection_masks_bit_identical(rng):
     every output field bit-equal — pruning is mask-exact by contract."""
     # untrained logits rarely clear 0.5 — lower the threshold so the
     # bit-equality claim covers a non-empty mask set
-    cfg_on = dataclasses.replace(_spatial_tiny(), mask_thresh=0.05)
+    cfg_on = dataclasses.replace(
+        _spatial_tiny(), mask_thresh=0.05, mask_project_prune="auto"
+    )
     cfg_off = dataclasses.replace(cfg_on, mask_project_prune="off")
     b, n = 2, 256
     batch = {
