@@ -72,7 +72,6 @@ def layout_bias_probe(
             continue
         qs = rng.choice(vidx, size=min(n_queries, len(vidx)), replace=False)
         pts = x[bi][v[bi]]  # candidates scan valid points in input order
-        cand_order = vidx  # original indices of pts rows, ascending
         for q in qs:
             d2 = np.sum((pts - x[bi, q]) ** 2, axis=-1)
             hits = np.flatnonzero(d2 < radius * radius)
@@ -86,7 +85,6 @@ def layout_bias_probe(
             s_first = float(np.mean(np.std(first, axis=0)))
             if s_full > 1e-9:
                 ratios.append(s_first / s_full)
-        del cand_order
     ratio = float(np.mean(ratios)) if ratios else 1.0
     overflow_frac = overflow / max(probed_balls, 1)
     return {

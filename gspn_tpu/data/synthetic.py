@@ -110,6 +110,17 @@ def scene(
             counts = np.maximum(
                 (counts * n_points) // (counts.sum() + 16), 8
             )
+            # the 8-point floor can still overflow a tiny budget, and the
+            # final xyz[perm] would then silently truncate the tail —
+            # dropping whole instances while num_instances still counts
+            # them (ghost GTs in eval). Drop instances from the end, then
+            # trim the largest counts, so labels always match the points.
+            while len(counts) > 1 and counts.sum() > n_points:
+                counts = counts[:-1]
+            if counts.sum() > n_points:
+                counts[0] = n_points
+            n_inst = len(counts)
+            sizes = sizes[:n_inst]
             n_bg = max(n_points - int(counts.sum()), 0)
         counts = list(counts)
     else:

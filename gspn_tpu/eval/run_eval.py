@@ -116,7 +116,8 @@ def parse_args(argv=None):
                    default=None,
                    help="box-pruned mask projection over the spatial-FPS "
                         "Morton view (mask-exact; models/pipeline.py). "
-                        "Default: the preset's choice ('auto')")
+                        "Default: the preset's choice ('off' — measured "
+                        "a 4-6%% in-program loser, STATUS round-5)")
     p.add_argument("--ab-fps-segments", type=int, default=None,
                    help="paired A/B: ALSO run a second arm with this "
                         "fps_segments on the SAME scenes and report the "

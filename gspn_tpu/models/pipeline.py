@@ -193,8 +193,23 @@ def shared_fps_indices_view(cfg: PipelineConfig, xyz, valid):
     """
     sa1_n = cfg.rpointnet.sa_layers[0].npoint
     n = xyz.shape[1]
-    if cfg.sa1_fps_segments and cfg.sa1_fps_segments != cfg.gspn.fps_segments:
-        return _split_fps_indices(cfg, xyz, valid, sa1_n, n)
+    if cfg.sa1_fps_segments:
+        # an explicit sa1 count routes to the split path unless the
+        # SHARED pass already delivers sa1 at exactly that count — with
+        # sa1_fps_segments == fps_segments but a seed-ineligible shared
+        # pass (e.g. num_seeds < 8*S), the shared path would silently
+        # fall back to exact, no-opping the knob the user set
+        shared_ok = (
+            cfg.sa1_fps_segments == cfg.gspn.fps_segments
+            and cfg.gspn.ops_impl == cfg.rpointnet.ops_impl
+            and cfg.gspn.fps_segments == cfg.rpointnet.fps_segments
+            and cfg.gspn.fps_segment_mode == cfg.rpointnet.fps_segment_mode
+            and ops.shared_eligible_fps_segments(
+                cfg.gspn.fps_segments, (cfg.num_seeds, sa1_n), n
+            ) == cfg.sa1_fps_segments
+        )
+        if not shared_ok:
+            return _split_fps_indices(cfg, xyz, valid, sa1_n, n)
     if (
         cfg.gspn.ops_impl == cfg.rpointnet.ops_impl
         and cfg.gspn.fps_segments == cfg.rpointnet.fps_segments

@@ -42,7 +42,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from gspn_tpu.ops.ball_query import _ball_query_xla, _check_select
+from gspn_tpu.ops.ball_query import (
+    _ball_query_xla,
+    _check_select,
+    _lane_prefix_sum_exclusive,
+)
 from gspn_tpu.ops.common import resolve_impl, round_up
 from gspn_tpu.ops.grouping import group_point
 
@@ -74,20 +78,6 @@ _EXTRACT = "serial"  # "serial" | "rank" — see _fused_kernel. Both are
 #                     (pipelined) masked-sum extraction steps. Default set
 #                     by the on-chip interleaved A/B
 #                     (scripts/sweep_extract.py).
-
-
-def _lane_prefix_sum_exclusive(hit_i, wiota, nw: int):
-    """Exclusive prefix sum over the lane axis of ``hit_i (TM, NW)`` via
-    Hillis-Steele roll-doubling (``pltpu.roll`` — Mosaic has no cumsum
-    lowering): ceil(log2(NW)) dependent add steps, each cheap and
-    lane-parallel. Wrapped lanes are masked with the static ``wiota``."""
-    s = hit_i
-    d = 1
-    while d < nw:
-        r = pltpu.roll(s, d, axis=1)
-        s = s + jnp.where(wiota >= d, r, 0)
-        d *= 2
-    return s - hit_i
 
 
 def _fused_kernel(

@@ -278,8 +278,7 @@ def main(argv=None):
         # first-K pathology regime (gspn_tpu/data/layout_probe.py)
         from gspn_tpu.data.layout_probe import warn_if_layout_biased
 
-        host_first = {k: __import__("numpy").asarray(v)
-                      for k, v in first.items()}
+        host_first = {k: np.asarray(v) for k, v in first.items()}
         mid = min(1, len(cfg.context_radii) - 1)
         warn_if_layout_biased(
             host_first, radius=float(cfg.context_radii[mid]),

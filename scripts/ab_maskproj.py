@@ -59,10 +59,18 @@ def main():
     if args.shapes == "tiny":
         from tests.test_pipeline_eval import TINY
 
+        # mirror tests/_spatial_tiny: num_seeds=16 and BOTH stages on a
+        # matched spatial segmented pass — otherwise shared_fps_indices
+        # yields no sorted view and every "pruned" arm silently traces
+        # the DENSE path, self-checking nothing
         base = dataclasses.replace(
             TINY,
+            num_seeds=16,
             gspn=dataclasses.replace(
                 TINY.gspn, fps_segments=2, fps_segment_mode="spatial"
+            ),
+            rpointnet=dataclasses.replace(
+                TINY.rpointnet, fps_segments=2, fps_segment_mode="spatial"
             ),
         )
         args.random_init = True
